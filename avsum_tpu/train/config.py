@@ -1,0 +1,201 @@
+"""Dataclass config system with YAML load + ``key.path=value`` CLI overrides.
+
+Replaces the reference's never-loaded YAML (/root/reference/configs/
+data_config.yaml:1-16; SURVEY.md §5.6) and its hardcoded hyperparameters
+(/root/reference/scripts/train_av_model.py:64,68,70). The reference yaml's
+keys (frame_size=299, visual sample_rate, audio sample_rate=16000) seed the
+schema below.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Dict, List, Optional, Sequence
+
+import yaml
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "tvsum"  # tvsum | summe | synthetic
+    video_dir: str = "data/videos"
+    annotation_path: str = "data/ydata-tvsum50.mat"
+    cache_dir: str = "data/processed"
+    splits_path: str = "splits.json"
+    n_folds: int = 5  # canonical 5-fold cross validation
+    split_seed: int = 0  # reference splits were unseeded (create_splits.py:9)
+    max_shots: int = 128  # padded shot-sequence bucket size
+    batch_videos: int = 4  # videos per step (reference effective batch = 1)
+
+
+@dataclass(frozen=True)
+class AudioFeatConfig:
+    sample_rate: int = 16000  # matches reference/VGGish (extractors.py:184)
+    n_fft: int = 400
+    hop_length: int = 160
+    win_length: int = 400
+    n_mels: int = 128  # reference MelSpectrogram n_mels=128 (extractors.py:241)
+    n_mfcc: int = 40  # reference MFCC n_mfcc=40 (extractors.py:236)
+    fmin: float = 0.0
+    fmax: Optional[float] = None  # default sr/2
+    log_base2: bool = True  # reference uses log2(mel + 1e-6) (extractors.py:243)
+    eps: float = 1e-6
+    vggish_dim: int = 128
+    # audio feature contract: 40 (MFCC) + 128 (log-mel) + 128 (VGGish) = 296.
+    # Resolves the reference's 296-vs-384 inconsistency (SURVEY.md §8.1).
+    feature_dim: int = 296
+
+
+@dataclass(frozen=True)
+class VisualFeatConfig:
+    resnet_size: int = 224
+    inception_size: int = 299
+    frame_stride: int = 3  # reference: every 3rd frame (extractors.py:399)
+    max_frames_per_shot: int = 96  # reference caps at 100; 96 = multiple of 8
+    backbone: str = "dual"  # dual (resnet50+inceptionv3) | resnet50 | vit
+    feature_dim: int = 4096  # 2048 + 2048 concat contract (extractors.py:108)
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    visual_dim: int = 4096
+    audio_dim: int = 296
+    hidden_dim: int = 512
+    num_heads: int = 4
+    scorer_hidden: int = 64
+    dropout: float = 0.3
+    temporal_encoder: str = "attention"  # attention | bilstm | tcn
+    temporal_layers: int = 2
+    chunk_size: int = 0  # 0 = full attention; >0 = blockwise/chunked
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4  # reference AdamW lr (train_av_model.py:68)
+    weight_decay: float = 1e-2
+    epochs: int = 100  # reference (train_av_model.py:70)
+    warmup_steps: int = 50
+    grad_clip: float = 1.0
+    seed: int = 0
+    log_every: int = 10
+    eval_every_epochs: int = 10
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    log_path: Optional[str] = None  # JSONL scalar sink
+    debug_nans: bool = False
+
+
+@dataclass(frozen=True)
+class MeshShape:
+    data: int = 1
+    seq: int = 1
+    model: int = 1
+    auto_data: bool = True
+
+
+@dataclass(frozen=True)
+class SummaryConfig:
+    budget_fraction: float = 0.15  # canonical 15%-duration knapsack budget
+    min_shot_frames: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    audio: AudioFeatConfig = field(default_factory=AudioFeatConfig)
+    visual: VisualFeatConfig = field(default_factory=VisualFeatConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshShape = field(default_factory=MeshShape)
+    summary: SummaryConfig = field(default_factory=SummaryConfig)
+
+
+# ---------------------------------------------------------------------------
+# Loading / overriding
+# ---------------------------------------------------------------------------
+
+
+def _from_dict(cls, d: Dict[str, Any]):
+    if not is_dataclass(cls):
+        return d
+    kwargs = {}
+    valid = {f.name: f for f in fields(cls)}
+    for key, value in (d or {}).items():
+        if key not in valid:
+            raise KeyError(f"unknown config key {cls.__name__}.{key}")
+        f = valid[key]
+        if is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[key] = _from_dict(f.type, value)
+        elif isinstance(value, dict):
+            # nested dataclass declared via string annotation
+            sub = _resolve_type(f)
+            kwargs[key] = _from_dict(sub, value) if sub else value
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def _resolve_type(f) -> Optional[type]:
+    t = f.type
+    if isinstance(t, type) and is_dataclass(t):
+        return t
+    if isinstance(t, str):
+        t = globals().get(t)
+        if isinstance(t, type) and is_dataclass(t):
+            return t
+    return None
+
+
+def _set_path(cfg, dotted: str, raw: str):
+    """Immutable update ``cfg`` at ``a.b.c`` with a YAML-parsed value."""
+    parts = dotted.split(".")
+    value = yaml.safe_load(raw)
+    if isinstance(value, str):
+        # YAML 1.1 parses bare "3e-4" as a string; coerce numeric-looking text
+        try:
+            value = int(value)
+        except ValueError:
+            try:
+                value = float(value)
+            except ValueError:
+                pass
+
+    def rec(node, idx):
+        name = parts[idx]
+        if not hasattr(node, name):
+            raise KeyError(f"unknown config path: {dotted}")
+        if idx == len(parts) - 1:
+            return dataclasses.replace(node, **{name: value})
+        child = getattr(node, name)
+        return dataclasses.replace(node, **{name: rec(child, idx + 1)})
+
+    return rec(cfg, 0)
+
+
+def load_config(
+    yaml_path: Optional[str] = None, overrides: Sequence[str] = ()
+) -> Config:
+    """Build a Config from an optional YAML file plus ``a.b=c`` overrides."""
+    cfg = Config()
+    if yaml_path:
+        with open(yaml_path) as fh:
+            raw = yaml.safe_load(fh) or {}
+        cfg = _from_dict(Config, raw)
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override must look like key.path=value, got {item!r}")
+        key, _, val = item.partition("=")
+        cfg = _set_path(cfg, key.strip(), val.strip())
+    return cfg
+
+
+def to_dict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def save_config(cfg, path: str) -> None:
+    with open(path, "w") as fh:
+        yaml.safe_dump(to_dict(cfg), fh, sort_keys=False)
