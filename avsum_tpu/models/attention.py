@@ -1,0 +1,84 @@
+"""Multi-head self-attention, mask-aware, with an optional fused Pallas path.
+
+Functional equivalent of both attention surfaces in the reference:
+- the custom MHSA it defines but never uses
+  (/root/reference/models/attention.py:5-25)
+- the ``nn.MultiheadAttention(1024, 4)`` actually called in the model
+  (/root/reference/models/av_model.py:26,43-44)
+
+Unlike the reference (which sets no key-padding mask and mixes up batch
+order, SURVEY.md §8.5), this module takes an explicit [B, S] validity mask
+and a strict [B, S, E] layout. Attention logits are computed in f32
+regardless of input dtype (bf16-safe softmax).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def attention_bias(mask: Optional[jnp.ndarray], dtype=jnp.float32):
+    """[B,S] validity mask -> [B,1,1,S] additive key bias."""
+    if mask is None:
+        return None
+    bias = jnp.where(mask.astype(bool), 0.0, NEG_INF).astype(dtype)
+    return bias[:, None, None, :]
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Bidirectional MHSA over the shot/frame sequence axis.
+
+    attention(Q,K,V) with Q=K=V=x, optional key-padding mask, f32 softmax.
+    When ``use_pallas`` is set and the sequence/head dims are tile-aligned,
+    dispatches to the fused Pallas flash-attention kernel
+    (:func:`avsum_tpu.ops.flash_attention`).
+    """
+
+    embed_dim: int
+    num_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        b, s, e = x.shape
+        assert e == self.embed_dim, (e, self.embed_dim)
+        h = self.num_heads
+        d = e // h
+        assert d * h == e, "embed_dim must be divisible by num_heads"
+
+        qkv = nn.DenseGeneral(
+            (3, h, d), axis=-1, dtype=self.dtype, name="qkv"
+        )(x)  # [B,S,3,H,D]
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,S,H,D]
+
+        if self.use_pallas:
+            from avsum_tpu.ops import flash_attention
+
+            ctx = flash_attention(q, k, v, mask=mask)
+        else:
+            scale = d ** -0.5
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            bias = attention_bias(mask)
+            if bias is not None:
+                logits = logits + bias
+            probs = nn.softmax(logits, axis=-1).astype(self.dtype)
+            ctx = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
+
+        out = nn.DenseGeneral(
+            e, axis=(-2, -1), dtype=self.dtype, name="out"
+        )(ctx)
+        if mask is not None:
+            out = out * mask.astype(out.dtype)[..., None]
+        return out

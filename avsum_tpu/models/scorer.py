@@ -1,0 +1,117 @@
+"""AVScorer — the flagship audio-visual importance scorer.
+
+Capability-parity with the reference's ``AVBiLSTMModel``
+(/root/reference/models/av_model.py:6-46):
+
+    visual[B,S,4096], audio[B,S,296]
+      -> modality MLPs (Dense 512 + ReLU + Dropout 0.3)      av_model.py:10-15
+      -> temporal encoder per modality (BiLSTM in reference)  av_model.py:18-23
+      -> concat [B,S,1024] -> cross-modal self-attention      av_model.py:26,43-44
+      -> Dense 64 -> ReLU -> Dense 1 -> sigmoid -> [B,S]      av_model.py:29-31,46
+
+TPU-first deltas: mask-aware throughout, strict [B,S,E] layout, selectable
+temporal encoder (attention default; BiLSTM kept as a parity variant), and
+the whole forward is a single jittable function of (params, batch).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from avsum_tpu.models.attention import MultiHeadSelfAttention
+from avsum_tpu.models.temporal import (
+    AttentionEncoder,
+    BiLSTM,
+    TemporalConvEncoder,
+)
+from avsum_tpu.train.config import ModelConfig
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+class ModalityMLP(nn.Module):
+    hidden: int
+    dropout: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class AVScorer(nn.Module):
+    """Per-shot importance scores in [0, 1] from audio-visual features."""
+
+    config: ModelConfig = ModelConfig()
+
+    def _temporal(self, name: str):
+        cfg = self.config
+        dtype = _DTYPES[cfg.dtype]
+        kind = cfg.temporal_encoder
+        if kind == "bilstm":
+            return BiLSTM(cfg.hidden_dim, dtype=dtype, name=name)
+        if kind == "attention":
+            return AttentionEncoder(
+                cfg.hidden_dim,
+                num_layers=cfg.temporal_layers,
+                num_heads=cfg.num_heads,
+                dropout=cfg.dropout,
+                dtype=dtype,
+                name=name,
+            )
+        if kind == "tcn":
+            return TemporalConvEncoder(
+                cfg.hidden_dim,
+                num_layers=cfg.temporal_layers,
+                dropout=cfg.dropout,
+                dtype=dtype,
+                name=name,
+            )
+        raise ValueError(f"unknown temporal encoder {kind!r}")
+
+    @nn.compact
+    def __call__(
+        self,
+        visual: jnp.ndarray,
+        audio: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        dtype = _DTYPES[cfg.dtype]
+        assert visual.ndim == 3 and audio.ndim == 3, "expect [B,S,D] inputs"
+
+        v = ModalityMLP(cfg.hidden_dim, cfg.dropout, dtype, name="visual_fc")(
+            visual.astype(dtype), deterministic
+        )
+        a = ModalityMLP(cfg.hidden_dim, cfg.dropout, dtype, name="audio_fc")(
+            audio.astype(dtype), deterministic
+        )
+
+        kwargs = (
+            {} if cfg.temporal_encoder == "bilstm" else {"deterministic": deterministic}
+        )
+        v = self._temporal("visual_temporal")(v, mask, **kwargs)
+        a = self._temporal("audio_temporal")(a, mask, **kwargs)
+
+        fused = jnp.concatenate([v, a], axis=-1)  # [B,S,2H]
+        fused = fused + MultiHeadSelfAttention(
+            2 * cfg.hidden_dim, cfg.num_heads, dtype=dtype, name="cross_attention"
+        )(fused, mask)
+
+        x = nn.Dense(cfg.scorer_hidden, dtype=dtype, name="scorer_hidden")(fused)
+        x = nn.relu(x)
+        x = nn.Dense(1, dtype=jnp.float32, name="scorer_out")(x)
+        scores = nn.sigmoid(x)[..., 0]  # [B,S]
+        if mask is not None:
+            scores = scores * mask.astype(scores.dtype)
+        return scores
+
+
+def make_model(config: ModelConfig = ModelConfig()) -> AVScorer:
+    return AVScorer(config=config)

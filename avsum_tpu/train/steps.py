@@ -1,0 +1,155 @@
+"""pjit train / eval steps.
+
+TPU-native replacement of the reference training loop
+(/root/reference/scripts/train_av_model.py:70-96), which ran one video per
+step with per-tensor ``.cuda()`` copies, no masking, no grad clipping, no
+LR schedule and no logging. Here:
+
+- one jit-compiled step over a padded [B, S, ...] batch, sharded over the
+  mesh (batch -> ``data`` axis, sequence -> ``seq`` axis, params replicated)
+- masked MSE loss (padded shots contribute nothing)
+- optax AdamW + warmup-cosine schedule + global-norm clipping
+- donated state buffers (no HBM double-allocation per step)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from avsum_tpu.parallel.mesh import AXIS_DATA, AXIS_SEQ
+from avsum_tpu.train.config import TrainConfig
+
+
+class TrainState(train_state.TrainState):
+    """Standard flax TrainState; dropout rng folded in from the step index."""
+
+
+Batch = Dict[str, jnp.ndarray]  # visual, audio, targets, mask
+
+
+def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray):
+    """Mean squared error over valid positions only (reference uses bare
+    ``F.mse_loss``, train_av_model.py:91, with no masking)."""
+    m = mask.astype(jnp.float32)
+    se = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    return jnp.sum(se * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def make_optimizer(cfg: TrainConfig, total_steps: int = 10_000):
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.lr,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=max(total_steps, cfg.warmup_steps + 1),
+        end_value=cfg.lr * 0.1,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def create_train_state(
+    model, cfg: TrainConfig, sample_batch: Batch, total_steps: int = 10_000
+) -> TrainState:
+    rng = jax.random.PRNGKey(cfg.seed)
+    params = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        sample_batch["visual"],
+        sample_batch["audio"],
+        sample_batch["mask"],
+        deterministic=False,
+    )["params"]
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=make_optimizer(cfg, total_steps)
+    )
+
+
+def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+    seq = NamedSharding(mesh, P(AXIS_DATA, AXIS_SEQ))
+    feat = NamedSharding(mesh, P(AXIS_DATA, AXIS_SEQ, None))
+    return {"visual": feat, "audio": feat, "targets": seq, "mask": seq}
+
+
+def shard_batch_dict(batch: Batch, mesh: Mesh) -> Batch:
+    shardings = batch_shardings(mesh)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
+def make_train_step(model, mesh: Optional[Mesh] = None, seed: int = 0):
+    """Build the jitted train step. With a mesh, inputs/outputs carry
+    NamedShardings so XLA emits the psum for the data/seq-parallel grads."""
+
+    base_rng = jax.random.PRNGKey(seed)
+
+    def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Dict]:
+        dropout_rng = jax.random.fold_in(base_rng, state.step)
+
+        def loss_fn(params):
+            preds = state.apply_fn(
+                {"params": params},
+                batch["visual"],
+                batch["audio"],
+                batch["mask"],
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            return masked_mse(preds, batch["targets"], batch["mask"]), preds
+
+        (loss, preds), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "pred_mean": jnp.mean(preds),
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=0)
+
+    replicated = NamedSharding(mesh, P())
+    bs = batch_shardings(mesh)
+    return jax.jit(
+        train_step,
+        donate_argnums=0,
+        in_shardings=(replicated, bs),
+        out_shardings=(replicated, replicated),
+    )
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None):
+    def eval_step(params, batch: Batch) -> Dict[str, jnp.ndarray]:
+        preds = model.apply(
+            {"params": params},
+            batch["visual"],
+            batch["audio"],
+            batch["mask"],
+            deterministic=True,
+        )
+        return {
+            "preds": preds,
+            "loss": masked_mse(preds, batch["targets"], batch["mask"]),
+        }
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    replicated = NamedSharding(mesh, P())
+    bs = batch_shardings(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(replicated, bs),
+        out_shardings={
+            "preds": NamedSharding(mesh, P(AXIS_DATA, AXIS_SEQ)),
+            "loss": replicated,
+        },
+    )

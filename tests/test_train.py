@@ -1,0 +1,118 @@
+"""Training-step tests: loss decreases, sharded == single-device, resume."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from avsum_tpu.data.batching import batch_iterator
+from avsum_tpu.data.synthetic import make_synthetic_videos
+from avsum_tpu.models import make_model
+from avsum_tpu.parallel import MeshConfig, build_mesh
+from avsum_tpu.train.config import Config, ModelConfig, TrainConfig
+from avsum_tpu.train.steps import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    masked_mse,
+    shard_batch_dict,
+)
+
+SMALL_MODEL = ModelConfig(
+    visual_dim=48, audio_dim=24, hidden_dim=32, scorer_hidden=16, dropout=0.1
+)
+TRAIN = TrainConfig(lr=3e-3, warmup_steps=5, seed=0)
+
+
+def _videos_and_batches(n=8, batch=4, max_shots=24, seed=0):
+    vids = make_synthetic_videos(
+        n_videos=n, min_shots=8, max_shots=20,
+        visual_dim=SMALL_MODEL.visual_dim, audio_dim=SMALL_MODEL.audio_dim,
+        seed=seed,
+    )
+    return vids, lambda: batch_iterator(vids, batch, max_shots, seed=seed)
+
+
+def test_loss_decreases_on_synthetic_data():
+    model = make_model(SMALL_MODEL)
+    _, batches = _videos_and_batches()
+    first = next(iter(batches()))
+    state = create_train_state(model, TRAIN, first, total_steps=200)
+    step = make_train_step(model, mesh=None, seed=0)
+
+    losses = []
+    for epoch in range(15):
+        for b in batches():
+            state, metrics = step(state, b)
+            losses.append(float(metrics["loss"]))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+    assert np.isfinite(losses).all()
+
+
+def test_sharded_step_matches_single_device(mesh8):
+    """Distributed-without-a-cluster (SURVEY.md §4 item 5): same batch, same
+    params — the 8-device pjit step must produce the same loss and params
+    as the unsharded step."""
+    model = make_model(SMALL_MODEL)
+    _, batches = _videos_and_batches(n=8, batch=8, max_shots=16)
+    batch = next(iter(batches()))
+
+    state_a = create_train_state(model, TRAIN, batch, total_steps=100)
+    state_b = create_train_state(model, TRAIN, batch, total_steps=100)
+    step_single = make_train_step(model, mesh=None, seed=0)
+    step_sharded = make_train_step(model, mesh8, seed=0)
+
+    for _ in range(3):
+        state_a, ma = step_single(state_a, batch)
+        state_b, mb = step_sharded(state_b, shard_batch_dict(batch, mesh8))
+
+    assert float(ma["loss"]) == pytest.approx(float(mb["loss"]), rel=1e-4)
+    pa = jax.tree.leaves(jax.device_get(state_a.params))
+    pb = jax.tree.leaves(jax.device_get(state_b.params))
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_eval_step_deterministic_and_masked():
+    model = make_model(SMALL_MODEL)
+    _, batches = _videos_and_batches()
+    batch = next(iter(batches()))
+    state = create_train_state(model, TRAIN, batch, total_steps=10)
+    eval_step = make_eval_step(model)
+    o1 = eval_step(state.params, batch)
+    o2 = eval_step(state.params, batch)
+    np.testing.assert_array_equal(np.asarray(o1["preds"]), np.asarray(o2["preds"]))
+    # padded positions must score exactly 0
+    assert np.all(np.asarray(o1["preds"])[batch["mask"] == 0] == 0.0)
+
+
+def test_masked_mse_ignores_padding():
+    pred = np.array([[1.0, 1.0, 9.0]])
+    tgt = np.array([[0.0, 1.0, 0.0]])
+    mask = np.array([[1.0, 1.0, 0.0]])
+    assert float(masked_mse(pred, tgt, mask)) == pytest.approx(0.5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from avsum_tpu.train.checkpoint import CheckpointManager
+
+    model = make_model(SMALL_MODEL)
+    _, batches = _videos_and_batches()
+    batch = next(iter(batches()))
+    state = create_train_state(model, TRAIN, batch, total_steps=10)
+    step = make_train_step(model, mesh=None, seed=0)
+    state, _ = step(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    mgr.save(int(state.step), state, {"epoch": 0})
+
+    template = create_train_state(model, TRAIN, batch, total_steps=10)
+    restored, meta = mgr.restore(template)
+    assert restored is not None
+    assert int(restored.step) == int(state.step)
+    assert meta == {"epoch": 0}
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    mgr.close()
