@@ -1,0 +1,135 @@
+"""Per-shot audio features (the 296-d contract).
+
+Reference behavior (/root/reference/features/extractors.py:195-234): per
+shot, compute VGGish embeddings + MFCC + log2-mel, DTW-align the MFCC/mel
+streams to VGGish frames, mean-pool each stream, concat. Two deliberate
+deltas (SURVEY.md §8.1-8.2):
+
+1. The contract is 296 = 40 raw MFCC + 128 log2-mel + 128 VGGish (the
+   reference *declares* 296 everywhere but its code produced 384 by
+   projecting MFCC 40->128; 296 is the stated intent).
+2. DTW alignment is replaced by fixed-rate segment pooling: after
+   mean-pooling, DTW's path ordering is provably near-vacuous, and DTW is
+   inherently sequential (hostile to TPU). An optional host-side DTW for
+   fidelity checks lives in :mod:`avsum_tpu.ops.dtw`.
+
+TPU-first structure: the WHOLE video's spectral features are computed once
+as batched matmuls (the reference recomputes per shot in a Python loop,
+extractors.py:344-358), then per-shot means are O(S) cumsum gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from avsum_tpu.audio.vggish import (
+    VGGISH_FRAMES,
+    VGGISH_HOP,
+    VGGish,
+    vggish_log_mel_patches,
+)
+from avsum_tpu.ops.spectral import log_mel_spectrogram, mfcc
+from avsum_tpu.train.config import AudioFeatConfig
+
+
+def _segment_means(
+    features: jnp.ndarray, start: jnp.ndarray, end: jnp.ndarray
+) -> jnp.ndarray:
+    """Row-range means of [T, D] via cumsum: -> [S, D]. Empty/out-of-range
+    segments clamp to one row (never NaN)."""
+    t = features.shape[0]
+    cs = jnp.concatenate(
+        [jnp.zeros((1, features.shape[1]), jnp.float32),
+         jnp.cumsum(features.astype(jnp.float32), axis=0)]
+    )
+    s = jnp.clip(start.astype(jnp.int32), 0, t - 1)
+    e = jnp.clip(end.astype(jnp.int32), s + 1, t)
+    total = jnp.take(cs, e, axis=0) - jnp.take(cs, s, axis=0)
+    return total / (e - s).astype(jnp.float32)[:, None]
+
+
+class AudioFrontend:
+    """Whole-video spectral features + per-shot 296-d pooled vectors."""
+
+    def __init__(
+        self,
+        config: AudioFeatConfig = AudioFeatConfig(),
+        vggish_params=None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.vggish = VGGish()
+        if vggish_params is None:
+            vggish_params = self.vggish.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, VGGISH_FRAMES, 64))
+            )["params"]
+        self.vggish_params = vggish_params
+        self._shot_features = jax.jit(self._shot_features_impl)
+
+    def _shot_features_impl(
+        self,
+        vggish_params,
+        waveform: jnp.ndarray,
+        boundaries: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        mf = mfcc(
+            waveform,
+            cfg.sample_rate,
+            n_mfcc=cfg.n_mfcc,
+            n_mels=cfg.n_mels,
+            n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length,
+            win_length=cfg.win_length,
+        )  # [Tm, 40]
+        lm = log_mel_spectrogram(
+            waveform,
+            cfg.sample_rate,
+            n_mels=cfg.n_mels,
+            eps=cfg.eps,
+            log_base2=cfg.log_base2,
+            n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length,
+            win_length=cfg.win_length,
+        )  # [Tm, 128]
+        patches = vggish_log_mel_patches(waveform)  # [P, 96, 64]
+        vg = self.vggish.apply({"params": vggish_params}, patches)  # [P, 128]
+
+        bounds = jnp.asarray(boundaries, jnp.float32).reshape(-1, 2)
+        # sample index -> per-stream frame/patch index
+        mf_s = bounds / cfg.hop_length
+        vg_s = bounds / (VGGISH_HOP * VGGISH_FRAMES)
+        mfcc_pooled = _segment_means(mf, mf_s[:, 0], jnp.ceil(mf_s[:, 1]))
+        mel_pooled = _segment_means(lm, mf_s[:, 0], jnp.ceil(mf_s[:, 1]))
+        vg_pooled = _segment_means(vg, vg_s[:, 0], jnp.ceil(vg_s[:, 1]))
+
+        out = jnp.concatenate([mfcc_pooled, mel_pooled, vg_pooled], axis=-1)
+        if mask is not None:
+            out = out * jnp.asarray(mask, jnp.float32)[:, None]
+        return out
+
+    def shot_features(
+        self,
+        waveform,
+        boundaries_samples,
+        mask=None,
+    ) -> jnp.ndarray:
+        """[T] waveform + [S, 2] (start, end) sample boundaries -> [S, 296]."""
+        return self._shot_features(
+            self.vggish_params, waveform, boundaries_samples, mask
+        )
+
+
+@functools.lru_cache(maxsize=1)
+def _default_frontend() -> AudioFrontend:
+    return AudioFrontend()
+
+
+def shot_audio_features(waveform, boundaries_samples, mask=None):
+    """Module-level convenience using a default (random-weight) frontend."""
+    return _default_frontend().shot_features(waveform, boundaries_samples, mask)

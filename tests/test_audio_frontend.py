@@ -1,0 +1,77 @@
+"""Audio front-end: 296-d contract, VGGish shapes, segment pooling."""
+
+import numpy as np
+import pytest
+
+from avsum_tpu.audio import AudioFrontend, VGGish, vggish_log_mel_patches
+from avsum_tpu.audio.frontend import _segment_means
+
+
+def test_vggish_patches_shape():
+    wav = np.random.default_rng(0).standard_normal(16000 * 3).astype(np.float32)
+    patches = np.asarray(vggish_log_mel_patches(wav))
+    # 3 s of audio -> ~300 frames of 10 ms hop -> 3 patches of 96 frames
+    assert patches.shape == (3, 96, 64)
+    assert np.isfinite(patches).all()
+
+
+def test_vggish_patches_short_audio_padded():
+    wav = np.zeros(1000, np.float32)
+    patches = np.asarray(vggish_log_mel_patches(wav))
+    assert patches.shape == (1, 96, 64)
+
+
+def test_vggish_network_output():
+    import jax
+
+    net = VGGish()
+    params = net.init(jax.random.PRNGKey(0), np.zeros((2, 96, 64), np.float32))
+    out = net.apply(params, np.random.default_rng(1).standard_normal((2, 96, 64)).astype(np.float32))
+    assert out.shape == (2, 128)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_segment_means_matches_manual():
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((50, 4)).astype(np.float32)
+    start = np.array([0, 10, 40])
+    end = np.array([10, 40, 50])
+    out = np.asarray(_segment_means(feats, start, end))
+    for i, (s, e) in enumerate(zip(start, end)):
+        np.testing.assert_allclose(out[i], feats[s:e].mean(0), atol=1e-4)
+
+
+def test_shot_features_contract_296():
+    rng = np.random.default_rng(3)
+    sr = 16000
+    wav = (0.1 * rng.standard_normal(sr * 4)).astype(np.float32)
+    bounds = np.array([[0, sr], [sr, 2 * sr], [2 * sr, 4 * sr]], np.float32)
+    fe = AudioFrontend()
+    out = np.asarray(fe.shot_features(wav, bounds))
+    assert out.shape == (3, 296)
+    assert np.isfinite(out).all()
+    # different shots of different audio -> different features
+    assert not np.allclose(out[0], out[2])
+
+
+def test_shot_features_mask_zeroes_padded():
+    sr = 16000
+    wav = np.random.default_rng(4).standard_normal(sr).astype(np.float32) * 0.1
+    bounds = np.array([[0, sr], [0, 0]], np.float32)
+    mask = np.array([1.0, 0.0])
+    fe = AudioFrontend()
+    out = np.asarray(fe.shot_features(wav, bounds, mask))
+    assert np.all(out[1] == 0.0)
+    assert not np.all(out[0] == 0.0)
+
+
+def test_shot_features_empty_waveform_finite():
+    """Degenerate audio (silence, minimal length) must stay finite —
+    replaces the reference's zeros-fallback paths (extractors.py:197-211)."""
+    sr = 16000
+    wav = np.zeros(1600, np.float32)
+    bounds = np.array([[0, 1600]], np.float32)
+    fe = AudioFrontend()
+    out = np.asarray(fe.shot_features(wav, bounds))
+    assert out.shape == (1, 296)
+    assert np.isfinite(out).all()
