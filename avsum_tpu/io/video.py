@@ -1,0 +1,100 @@
+"""VideoReader abstraction (the cv2.VideoCapture replacement).
+
+Reference usage to replace (/root/reference/features/extractors.py:307-309,
+395-413): open, read fps / frame count, seek to a frame, read sequential
+frames. ``open_video`` dispatches on extension:
+
+- ``.y4m``  -> pure-NumPy reader (native C++ fast path if built)
+- ``.mp4`` etc. -> imageio if a decoding plugin exists in the image,
+  else a clear error (no ffmpeg/cv2 on this machine)
+
+Paired audio convention: ``<stem>.wav`` next to the video file carries the
+soundtrack (replaces the reference's in-container audio + pydub extract).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Protocol
+
+import numpy as np
+
+from avsum_tpu.io.y4m import Y4MReader
+
+
+class VideoReader(Protocol):
+    width: int
+    height: int
+    fps: float
+    n_frames: int
+
+    def read_frame(self, index: int) -> np.ndarray: ...
+
+    def read_frames(self, indices) -> np.ndarray: ...
+
+    def iter_frames(self, start: int = 0, stop: Optional[int] = None) -> Iterator[np.ndarray]: ...
+
+    def close(self) -> None: ...
+
+
+class _ImageioReader:
+    """Fallback for containers imageio can decode in this environment."""
+
+    def __init__(self, path: str):
+        import imageio.v3 as iio
+
+        self._iio = iio
+        self.path = path
+        props = iio.improps(path, plugin=None)
+        meta = iio.immeta(path)
+        self.fps = float(meta.get("fps", 30.0))
+        shape = props.shape  # (T, H, W, C) or (H, W, C)
+        if len(shape) == 4:
+            self.n_frames, self.height, self.width = shape[0], shape[1], shape[2]
+        else:
+            self.n_frames, self.height, self.width = 1, shape[0], shape[1]
+
+    def read_frame(self, index: int) -> np.ndarray:
+        return self._iio.imread(self.path, index=index)
+
+    def read_frames(self, indices) -> np.ndarray:
+        return np.stack([self.read_frame(int(i)) for i in indices])
+
+    def iter_frames(self, start: int = 0, stop: Optional[int] = None):
+        for i, frame in enumerate(self._iio.imiter(self.path)):
+            if i < start:
+                continue
+            if stop is not None and i >= stop:
+                return
+            yield frame
+
+    def close(self):
+        pass
+
+
+def open_video(path: str, prefer_native: bool = True) -> VideoReader:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".y4m":
+        if prefer_native:
+            try:
+                from avsum_tpu.io.native import NativeY4MReader, native_available
+
+                if native_available():
+                    return NativeY4MReader(path)
+            except Exception:
+                pass
+        return Y4MReader(path)
+    try:
+        return _ImageioReader(path)
+    except Exception as e:
+        raise RuntimeError(
+            f"cannot decode {path!r}: no decoder for {ext} in this environment "
+            "(y4m is always supported; mp4 needs an imageio/ffmpeg plugin)"
+        ) from e
+
+
+def audio_path_for(video_path: str) -> Optional[str]:
+    """Paired-audio convention: <stem>.wav beside the video."""
+    stem = os.path.splitext(video_path)[0]
+    candidate = stem + ".wav"
+    return candidate if os.path.exists(candidate) else None

@@ -1,0 +1,122 @@
+"""Pure-NumPy WAV codec + audio utilities.
+
+Replaces the reference's audio path (pydub -> ffmpeg subprocess -> temp
+wav -> torchaudio.load, /root/reference/features/extractors.py:364-386,
+326-328) with an in-process reader: RIFF parse, downmix to mono, resample
+to the 16 kHz the audio front-end expects.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a RIFF/WAVE file -> (samples [T, C] float32 in [-1,1], rate).
+
+    Supports PCM 8/16/24/32-bit and IEEE float32/64.
+    """
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            (audio_format, channels, rate, _, block_align, bits) = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                (audio_format,) = struct.unpack("<H", body[24:26])
+            fmt = (audio_format, channels, rate, bits)
+        elif chunk_id == b"data":
+            samples = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or samples is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, channels, rate, bits = fmt
+
+    if audio_format == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(samples, "<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(samples, "<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            x = (np.frombuffer(samples, np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            raw = np.frombuffer(samples, np.uint8).reshape(-1, 3)
+            vals = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float32) / float(1 << 23)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(samples, dt).astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV format code {audio_format}")
+    usable = (len(x) // channels) * channels
+    return x[:usable].reshape(-1, channels), rate
+
+
+def write_wav(path: str, samples: np.ndarray, rate: int) -> None:
+    """Write float32 [-1,1] samples ([T] or [T, C]) as PCM16 WAV."""
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    channels = x.shape[1]
+    byte_rate = rate * channels * 2
+    data = pcm.tobytes()
+    with open(path, "wb") as fh:
+        fh.write(b"RIFF")
+        fh.write(struct.pack("<I", 36 + len(data)))
+        fh.write(b"WAVEfmt ")
+        fh.write(struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate,
+                             channels * 2, 16))
+        fh.write(b"data")
+        fh.write(struct.pack("<I", len(data)))
+        fh.write(data)
+
+
+def to_mono(samples: np.ndarray) -> np.ndarray:
+    """[T, C] -> [T] channel mean (the reference's downmix,
+    extractors.py:328)."""
+    x = np.asarray(samples, np.float32)
+    return x if x.ndim == 1 else x.mean(axis=1)
+
+
+def resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Linear-interpolation resampling [T] -> [T'].
+
+    Quality note: linear interp aliases above ~dst_rate/2 for downsampling
+    ratios > 2; fine for the 44.1k/48k -> 16k speech/music path the
+    pipeline uses (pydub's ffmpeg resampler was the reference's choice;
+    parity is at the feature level, not sample level).
+    """
+    x = np.asarray(samples, np.float32).reshape(-1)
+    if src_rate == dst_rate or len(x) == 0:
+        return x
+    duration = len(x) / src_rate
+    n_out = int(round(duration * dst_rate))
+    t_out = np.arange(n_out, dtype=np.float64) / dst_rate
+    t_in = np.arange(len(x), dtype=np.float64) / src_rate
+    return np.interp(t_out, t_in, x).astype(np.float32)
+
+
+def load_audio_mono_16k(path: str) -> np.ndarray:
+    """One-call equivalent of the reference's extract->mono->16k chain."""
+    samples, rate = read_wav(path)
+    return resample_linear(to_mono(samples), rate, 16000)

@@ -1,0 +1,286 @@
+// avsumio — native media runtime for the avsum_tpu framework.
+//
+// Host-side hot path: Y4M demux (mmap, zero-copy plane views), YUV420->RGB
+// conversion, and a background prefetch thread that decodes frame blocks
+// while the TPU consumes the previous block. This is the TPU-native
+// analogue of the reference's cv2/ffmpeg decode layer (which the single
+// host core would otherwise serialize against device compute).
+//
+// C ABI (consumed via ctypes from avsum_tpu/io/native.py):
+//   avsumio_y4m_open / info / read_rgb / close
+//   avsumio_prefetch_start / next / stop
+
+#include <atomic>
+#include <cctype>
+#include <cerrno>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct Block {
+  long first_index = 0;
+  long count = 0;
+  std::vector<uint8_t> rgb;  // [count, H, W, 3]
+};
+
+struct Y4M {
+  int fd = -1;
+  const uint8_t* map = nullptr;
+  size_t map_size = 0;
+
+  int width = 0;
+  int height = 0;
+  double fps = 30.0;
+  long n_frames = 0;
+  size_t data_start = 0;
+  size_t ysize = 0;
+  size_t csize = 0;
+  size_t frame_bytes = 0;  // includes "FRAME\n"
+  int chroma_div_h = 2, chroma_div_w = 2;
+
+  // prefetch state
+  std::thread worker;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  std::deque<Block> queue;
+  std::atomic<bool> stop_flag{false};
+  bool running = false;
+  long pf_block = 0, pf_start = 0, pf_stop = 0, pf_stride = 1;
+};
+
+// BT.601 full-range YCbCr -> RGB with 16.16 fixed point.
+inline void yuv_to_rgb_row(const uint8_t* y, const uint8_t* u_row,
+                           const uint8_t* v_row, int width, int chroma_div_w,
+                           uint8_t* out) {
+  for (int x = 0; x < width; ++x) {
+    int Y = y[x];
+    int U = u_row[x / chroma_div_w] - 128;
+    int V = v_row[x / chroma_div_w] - 128;
+    // r = Y + 1.402 V ; g = Y - 0.344136 U - 0.714136 V ; b = Y + 1.772 U
+    int r = Y + ((91881 * V) >> 16);
+    int g = Y - ((22554 * U + 46802 * V) >> 16);
+    int b = Y + ((116130 * U) >> 16);
+    out[3 * x + 0] = (uint8_t)(r < 0 ? 0 : (r > 255 ? 255 : r));
+    out[3 * x + 1] = (uint8_t)(g < 0 ? 0 : (g > 255 ? 255 : g));
+    out[3 * x + 2] = (uint8_t)(b < 0 ? 0 : (b > 255 ? 255 : b));
+  }
+}
+
+void decode_frame(const Y4M* r, long index, uint8_t* out) {
+  const uint8_t* frame = r->map + r->data_start + (size_t)index * r->frame_bytes;
+  // skip "FRAME" line (may carry params, ends with \n)
+  const uint8_t* nl =
+      (const uint8_t*)memchr(frame, '\n', r->frame_bytes);
+  const uint8_t* yp = nl + 1;
+  const uint8_t* up = yp + r->ysize;
+  const uint8_t* vp = up + r->csize;
+  int cw = r->width / r->chroma_div_w;
+  for (int row = 0; row < r->height; ++row) {
+    const uint8_t* u_row = up + (size_t)(row / r->chroma_div_h) * cw;
+    const uint8_t* v_row = vp + (size_t)(row / r->chroma_div_h) * cw;
+    yuv_to_rgb_row(yp + (size_t)row * r->width, u_row, v_row, r->width,
+                   r->chroma_div_w, out + (size_t)row * r->width * 3);
+  }
+}
+
+void prefetch_main(Y4M* r) {
+  const size_t frame_rgb = (size_t)r->height * r->width * 3;
+  long index = r->pf_start;
+  while (!r->stop_flag.load() && index < r->pf_stop) {
+    Block block;
+    block.first_index = index;
+    long count = 0;
+    block.rgb.resize((size_t)r->pf_block * frame_rgb);
+    while (count < r->pf_block && index < r->pf_stop) {
+      decode_frame(r, index, block.rgb.data() + (size_t)count * frame_rgb);
+      index += r->pf_stride;
+      ++count;
+    }
+    block.count = count;
+    std::unique_lock<std::mutex> lock(r->mu);
+    r->cv_space.wait(lock, [r] {
+      return r->queue.size() < 4 || r->stop_flag.load();
+    });
+    if (r->stop_flag.load()) return;
+    r->queue.push_back(std::move(block));
+    r->cv_ready.notify_one();
+  }
+  std::unique_lock<std::mutex> lock(r->mu);
+  Block sentinel;  // count == 0 marks end-of-stream
+  r->queue.push_back(std::move(sentinel));
+  r->cv_ready.notify_one();
+}
+
+}  // namespace
+
+extern "C" {
+
+void* avsumio_y4m_open(const char* path) {
+  Y4M* r = new Y4M();
+  r->fd = open(path, O_RDONLY);
+  if (r->fd < 0) {
+    delete r;
+    return nullptr;
+  }
+  struct stat st;
+  if (fstat(r->fd, &st) != 0) {
+    close(r->fd);
+    delete r;
+    return nullptr;
+  }
+  r->map_size = (size_t)st.st_size;
+  r->map = (const uint8_t*)mmap(nullptr, r->map_size, PROT_READ, MAP_PRIVATE,
+                                r->fd, 0);
+  if (r->map == MAP_FAILED) {
+    close(r->fd);
+    delete r;
+    return nullptr;
+  }
+  madvise((void*)r->map, r->map_size, MADV_SEQUENTIAL);
+
+  const uint8_t* nl = (const uint8_t*)memchr(r->map, '\n', r->map_size);
+  if (!nl) {
+    munmap((void*)r->map, r->map_size);
+    close(r->fd);
+    delete r;
+    return nullptr;
+  }
+  std::string header((const char*)r->map, (size_t)(nl - r->map));
+  if (header.rfind("YUV4MPEG2", 0) != 0) {
+    munmap((void*)r->map, r->map_size);
+    close(r->fd);
+    delete r;
+    return nullptr;
+  }
+  r->chroma_div_h = 2;
+  r->chroma_div_w = 2;
+  size_t pos = 0;
+  while (pos < header.size()) {
+    size_t sp = header.find(' ', pos);
+    std::string tok = header.substr(pos, sp == std::string::npos
+                                             ? std::string::npos
+                                             : sp - pos);
+    if (!tok.empty()) {
+      switch (tok[0]) {
+        case 'W': r->width = atoi(tok.c_str() + 1); break;
+        case 'H': r->height = atoi(tok.c_str() + 1); break;
+        case 'F': {
+          long num = 0, den = 1;
+          sscanf(tok.c_str() + 1, "%ld:%ld", &num, &den);
+          if (den > 0) r->fps = (double)num / (double)den;
+          break;
+        }
+        case 'C':
+          if (tok.rfind("C422", 0) == 0) { r->chroma_div_h = 1; r->chroma_div_w = 2; }
+          else if (tok.rfind("C444", 0) == 0) { r->chroma_div_h = 1; r->chroma_div_w = 1; }
+          break;
+        default: break;
+      }
+    }
+    if (sp == std::string::npos) break;
+    pos = sp + 1;
+  }
+  if (r->width <= 0 || r->height <= 0) {
+    munmap((void*)r->map, r->map_size);
+    close(r->fd);
+    delete r;
+    return nullptr;
+  }
+  r->ysize = (size_t)r->width * r->height;
+  r->csize = (size_t)(r->width / r->chroma_div_w) * (r->height / r->chroma_div_h);
+  r->data_start = (size_t)(nl - r->map) + 1;
+  r->frame_bytes = 6 /*"FRAME\n"*/ + r->ysize + 2 * r->csize;
+  r->n_frames = (long)((r->map_size - r->data_start) / r->frame_bytes);
+  return r;
+}
+
+void avsumio_y4m_info(void* handle, int* width, int* height, long* n_frames,
+                      double* fps) {
+  Y4M* r = (Y4M*)handle;
+  *width = r->width;
+  *height = r->height;
+  *n_frames = r->n_frames;
+  *fps = r->fps;
+}
+
+int avsumio_y4m_read_rgb(void* handle, const long* indices, long count,
+                         void* out) {
+  Y4M* r = (Y4M*)handle;
+  const size_t frame_rgb = (size_t)r->height * r->width * 3;
+  uint8_t* dst = (uint8_t*)out;
+  for (long i = 0; i < count; ++i) {
+    long idx = indices[i];
+    if (idx < 0 || idx >= r->n_frames) return -1;
+    decode_frame(r, idx, dst + (size_t)i * frame_rgb);
+  }
+  return 0;
+}
+
+int avsumio_prefetch_start(void* handle, long block_frames, long start,
+                           long stop, long stride) {
+  Y4M* r = (Y4M*)handle;
+  if (r->running) return -1;
+  if (block_frames <= 0 || stride <= 0) return -2;
+  if (stop > r->n_frames) stop = r->n_frames;
+  r->pf_block = block_frames;
+  r->pf_start = start;
+  r->pf_stop = stop;
+  r->pf_stride = stride;
+  r->stop_flag.store(false);
+  r->queue.clear();
+  r->worker = std::thread(prefetch_main, r);
+  r->running = true;
+  return 0;
+}
+
+long avsumio_prefetch_next(void* handle, void* out, long* first_index) {
+  Y4M* r = (Y4M*)handle;
+  if (!r->running) return -1;
+  Block block;
+  {
+    std::unique_lock<std::mutex> lock(r->mu);
+    r->cv_ready.wait(lock, [r] { return !r->queue.empty(); });
+    block = std::move(r->queue.front());
+    r->queue.pop_front();
+    r->cv_space.notify_one();
+  }
+  if (block.count == 0) return 0;  // end of stream
+  *first_index = block.first_index;
+  memcpy(out, block.rgb.data(), block.rgb.size());
+  return block.count;
+}
+
+void avsumio_prefetch_stop(void* handle) {
+  Y4M* r = (Y4M*)handle;
+  if (!r->running) return;
+  r->stop_flag.store(true);
+  r->cv_space.notify_all();
+  if (r->worker.joinable()) r->worker.join();
+  std::unique_lock<std::mutex> lock(r->mu);
+  r->queue.clear();
+  r->running = false;
+}
+
+void avsumio_y4m_close(void* handle) {
+  Y4M* r = (Y4M*)handle;
+  avsumio_prefetch_stop(r);
+  if (r->map && r->map != MAP_FAILED) munmap((void*)r->map, r->map_size);
+  if (r->fd >= 0) close(r->fd);
+  delete r;
+}
+
+}  // extern "C"
