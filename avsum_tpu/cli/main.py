@@ -1,0 +1,264 @@
+"""CLI entry points: preprocess | train | evaluate | summarize | splits.
+
+Real argparse + config-file + overrides, replacing the reference's
+hardcoded, import-time-executing scripts (SURVEY.md §1 L6: preprocess.py
+runs at import, train_av_model.py has no __main__ guard, nothing takes
+arguments).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+from avsum_tpu.train.config import Config, load_config
+from avsum_tpu.utils.logging import get_logger
+
+log = get_logger("avsum.cli")
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="config override, e.g. --set train.lr=3e-4 (repeatable)",
+    )
+
+
+def _config(args) -> Config:
+    return load_config(args.config, args.overrides)
+
+
+def cmd_preprocess(args) -> int:
+    cfg = _config(args)
+    from avsum_tpu.data.cache import FeatureCache
+    from avsum_tpu.pipeline import AVPipeline
+
+    pipeline = AVPipeline(cfg)
+    cache = FeatureCache(args.cache_dir or cfg.data.cache_dir)
+    done = pipeline.preprocess_dataset(args.input_dir or cfg.data.video_dir, cache)
+    log.info("preprocessed %d videos", len(done))
+    return 0
+
+
+def cmd_splits(args) -> int:
+    cfg = _config(args)
+    from avsum_tpu.data.cache import FeatureCache
+    from avsum_tpu.data.splits import create_kfold_splits, create_split, save_splits
+
+    cache = FeatureCache(args.cache_dir or cfg.data.cache_dir)
+    ids = cache.video_ids()
+    if not ids:
+        log.error("no cached videos in %s", cache.cache_dir)
+        return 1
+    if args.kfold:
+        splits = create_kfold_splits(ids, cfg.data.n_folds, cfg.data.split_seed)
+    else:
+        splits = create_split(ids, seed=cfg.data.split_seed)
+    out = args.output or cfg.data.splits_path
+    save_splits(splits, out)
+    log.info("wrote %s (%d videos)", out, len(ids))
+    return 0
+
+
+def _load_examples(cfg: Config, video_ids=None):
+    from avsum_tpu.data.cache import FeatureCache
+    from avsum_tpu.data.datasets import (
+        load_cached_examples,
+        load_summe_examples,
+        load_tvsum_examples,
+    )
+
+    cache = FeatureCache(cfg.data.cache_dir)
+    if cfg.data.dataset == "tvsum":
+        return load_tvsum_examples(cache, cfg.data.annotation_path, video_ids)
+    if cfg.data.dataset == "summe":
+        return load_summe_examples(cache, cfg.data.annotation_path, video_ids)
+    return load_cached_examples(cache, video_ids=video_ids)
+
+
+def cmd_train(args) -> int:
+    cfg = _config(args)
+    from avsum_tpu.data.batching import batch_iterator
+    from avsum_tpu.data.splits import load_splits
+    from avsum_tpu.models import make_model
+    from avsum_tpu.train.trainer import Trainer
+
+    split = None
+    if args.splits:
+        splits = load_splits(args.splits)
+        split = splits[args.fold] if isinstance(splits, list) else splits
+    train_ids = split["train"] if split else None
+    examples = _load_examples(cfg, train_ids)
+    if not examples:
+        log.error("no training examples found (cache empty or ids mismatch)")
+        return 1
+    log.info("training on %d videos", len(examples))
+
+    steps_per_epoch = max(1, len(examples) // cfg.data.batch_videos)
+    trainer = Trainer(
+        make_model(cfg.model),
+        cfg,
+        total_steps=steps_per_epoch * cfg.train.epochs,
+    )
+
+    def batches():
+        return batch_iterator(
+            examples,
+            cfg.data.batch_videos,
+            cfg.data.max_shots,
+            seed=cfg.train.seed,
+        )
+
+    eval_fn = None
+    if split:
+        test_examples = _load_examples(cfg, split["test"])
+        if test_examples:
+            eval_fn = lambda: trainer.evaluate_videos(  # noqa: E731
+                batch_iterator(
+                    test_examples,
+                    cfg.data.batch_videos,
+                    cfg.data.max_shots,
+                    shuffle=False,
+                )
+            )
+    trainer.init_state(next(iter(batches())))
+    if args.resume:
+        trainer.maybe_restore()
+    trainer.fit(batches, eval_fn=eval_fn)
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    cfg = _config(args)
+    from avsum_tpu.data.batching import batch_iterator
+    from avsum_tpu.data.splits import load_splits
+    from avsum_tpu.models import make_model
+    from avsum_tpu.train.trainer import Trainer
+
+    video_ids = None
+    if args.splits:
+        splits = load_splits(args.splits)
+        split = splits[args.fold] if isinstance(splits, list) else splits
+        video_ids = split["test"]
+    examples = _load_examples(cfg, video_ids)
+    if not examples:
+        log.error("no eval examples found")
+        return 1
+    trainer = Trainer(make_model(cfg.model), cfg)
+    trainer.init_state(
+        next(
+            iter(
+                batch_iterator(
+                    examples, cfg.data.batch_videos, cfg.data.max_shots, False
+                )
+            )
+        )
+    )
+    if trainer.maybe_restore() is None:
+        log.warning("no checkpoint found in %s; evaluating random init",
+                    cfg.train.checkpoint_dir)
+    metrics = trainer.evaluate_videos(
+        batch_iterator(examples, cfg.data.batch_videos, cfg.data.max_shots, False)
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_summarize(args) -> int:
+    cfg = _config(args)
+    from avsum_tpu.pipeline import AVPipeline
+
+    pipeline = AVPipeline(cfg)
+    model = params = None
+    if args.checkpoint:
+        from avsum_tpu.data.batching import pad_batch
+        from avsum_tpu.data.synthetic import make_synthetic_videos
+        from avsum_tpu.models import make_model
+        from avsum_tpu.train.checkpoint import CheckpointManager
+        from avsum_tpu.train.steps import create_train_state
+
+        model = make_model(cfg.model)
+        sample = pad_batch(
+            make_synthetic_videos(
+                1,
+                visual_dim=cfg.model.visual_dim,
+                audio_dim=cfg.model.audio_dim,
+            ),
+            cfg.data.max_shots,
+        )
+        template = create_train_state(model, cfg.train, sample)
+        state, _ = CheckpointManager(args.checkpoint).restore(template)
+        if state is None:
+            log.error("no checkpoint in %s", args.checkpoint)
+            return 1
+        params = state.params
+    result = pipeline.summarize(args.video, model, params)
+    out = {
+        "video_id": result["video_id"],
+        "n_frames": int(result["n_frames"]),
+        "fps": float(result["fps"]),
+        "segments": [[int(a), int(b)] for a, b in result["segments"]],
+        "shot_scores": [float(s) for s in result["scores"]],
+    }
+    if args.output:
+        with open(args.output, "w") as fh:
+            json.dump(out, fh, indent=1)
+        log.info("wrote %s", args.output)
+    else:
+        print(json.dumps(out))
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="avsum",
+        description="TPU-native audio-visual video summarization framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("preprocess", help="extract features into the cache")
+    _add_common(p)
+    p.add_argument("--input-dir", default=None)
+    p.add_argument("--cache-dir", default=None)
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("splits", help="create seeded train/test splits")
+    _add_common(p)
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--output", default=None)
+    p.add_argument("--kfold", action="store_true", help="canonical k-fold")
+    p.set_defaults(fn=cmd_splits)
+
+    p = sub.add_parser("train", help="train the scorer")
+    _add_common(p)
+    p.add_argument("--splits", default=None)
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="evaluate a checkpoint")
+    _add_common(p)
+    p.add_argument("--splits", default=None)
+    p.add_argument("--fold", type=int, default=0)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("summarize", help="summarize one video end-to-end")
+    _add_common(p)
+    p.add_argument("video")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--output", default=None)
+    p.set_defaults(fn=cmd_summarize)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

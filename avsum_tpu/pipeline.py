@@ -1,0 +1,240 @@
+"""End-to-end pipeline: decode -> shots -> features -> score -> summary.
+
+TPU-native rebuild of the reference's ``AVProcessor.process_video``
+(/root/reference/features/extractors.py:298-362) and the preprocess driver
+(/root/reference/scripts/preprocess.py:32-89), plus the on-the-fly
+summarize path the reference never had (BASELINE config 3).
+
+Structure (host/device split, SURVEY.md §7 hard parts):
+- decode happens on host (native C++ prefetch thread when built), frames
+  stream to device in blocks
+- shot scoring, feature extraction and the scorer model run under jit on
+  device with fixed batch shapes
+- per-shot pooling is segment arithmetic, not Python loops
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from avsum_tpu.audio.frontend import AudioFrontend
+from avsum_tpu.data.cache import FeatureCache
+from avsum_tpu.io.video import audio_path_for, open_video
+from avsum_tpu.io.wav import load_audio_mono_16k
+from avsum_tpu.summary.knapsack import select_summary
+from avsum_tpu.temporal.shots import (
+    ContentDetectorConfig,
+    detect_shots_streaming,
+)
+from avsum_tpu.train.config import Config
+from avsum_tpu.utils.logging import get_logger
+from avsum_tpu.utils.profiling import annotate
+from avsum_tpu.vision.backbone import (
+    VisualFrontend,
+    make_visual_frontend,
+    sample_shot_frames,
+)
+
+log = get_logger("avsum.pipeline")
+
+
+@dataclasses.dataclass
+class ProcessedVideo:
+    video_id: str
+    visual: np.ndarray  # [S, 4096]
+    audio: np.ndarray  # [S, 296]
+    boundaries: np.ndarray  # [S, 2] frames
+    fps: float
+    n_frames: int
+
+
+class AVPipeline:
+    def __init__(
+        self,
+        config: Config = Config(),
+        visual_frontend: Optional[VisualFrontend] = None,
+        audio_frontend: Optional[AudioFrontend] = None,
+        detector: Optional[ContentDetectorConfig] = None,
+    ):
+        self.config = config
+        self.visual = visual_frontend or make_visual_frontend(config.visual)
+        self.audio = audio_frontend or AudioFrontend(config.audio)
+        self.detector = detector or ContentDetectorConfig()
+
+    # ------------------------------------------------------------------
+    # decode helpers
+    # ------------------------------------------------------------------
+
+    def _stream_blocks(self, reader, block: int = 256) -> Iterator[np.ndarray]:
+        if hasattr(reader, "iter_blocks"):  # native prefetched path
+            for _, frames in reader.iter_blocks(block_frames=block):
+                yield frames
+        else:
+            buf = []
+            for frame in reader.iter_frames():
+                buf.append(frame)
+                if len(buf) == block:
+                    yield np.stack(buf)
+                    buf = []
+            if buf:
+                yield np.stack(buf)
+
+    def _load_audio(self, video_path: str, duration_s: float) -> np.ndarray:
+        wav_path = audio_path_for(video_path)
+        sr = self.config.audio.sample_rate
+        if wav_path is None:
+            log.warning("no paired audio for %s; using silence", video_path)
+            return np.zeros(max(int(duration_s * sr), sr), np.float32)
+        return load_audio_mono_16k(wav_path)
+
+    # ------------------------------------------------------------------
+    # feature extraction (the preprocess hot path)
+    # ------------------------------------------------------------------
+
+    def process_video(self, video_path: str) -> ProcessedVideo:
+        video_id = os.path.splitext(os.path.basename(video_path))[0]
+        reader = open_video(video_path)
+        try:
+            fps, n_frames = reader.fps, reader.n_frames
+            with annotate("avsum.shot_detect"):
+                boundaries, total = detect_shots_streaming(
+                    self._stream_blocks(reader), self.detector
+                )
+            if total != n_frames:
+                n_frames = total
+            if len(boundaries) == 0:
+                boundaries = np.array([[0, n_frames]], np.int64)
+
+            with annotate("avsum.visual_features"):
+                frame_idx, shot_ids = sample_shot_frames(
+                    boundaries,
+                    self.config.visual.frame_stride,
+                    self.config.visual.max_frames_per_shot,
+                )
+                frames = reader.read_frames(frame_idx)
+                visual = self.visual.shot_features(
+                    frames, shot_ids, len(boundaries)
+                )
+
+            with annotate("avsum.audio_features"):
+                waveform = self._load_audio(video_path, n_frames / fps)
+                sr = self.config.audio.sample_rate
+                sample_bounds = boundaries.astype(np.float64) / fps * sr
+                audio = np.asarray(
+                    self.audio.shot_features(waveform, sample_bounds)
+                )
+        finally:
+            reader.close()
+
+        return ProcessedVideo(
+            video_id=video_id,
+            visual=visual.astype(np.float32),
+            audio=audio.astype(np.float32),
+            boundaries=np.asarray(boundaries, np.int64),
+            fps=fps,
+            n_frames=n_frames,
+        )
+
+    def preprocess_dataset(
+        self, input_dir: str, cache: FeatureCache, extensions=(".y4m", ".mp4")
+    ) -> List[str]:
+        """Sweep a directory into the feature cache. Per-item isolation:
+        a failing video is logged and dropped, the sweep continues
+        (preprocess.py:60-85 semantics, minus the import-time execution)."""
+        done = []
+        names = sorted(
+            f for f in os.listdir(input_dir) if f.lower().endswith(extensions)
+        )
+        for name in names:
+            video_id = os.path.splitext(name)[0]
+            if cache.has(video_id):
+                log.info("skip %s (cached)", video_id)
+                done.append(video_id)
+                continue
+            path = os.path.join(input_dir, name)
+            try:
+                p = self.process_video(path)
+                self._validate_dims(p)
+                cache.put(
+                    p.video_id, p.visual, p.audio, p.boundaries, p.fps, p.n_frames
+                )
+                done.append(video_id)
+                log.info("cached %s: %d shots", video_id, len(p.boundaries))
+            except Exception as e:  # noqa: BLE001 — per-item isolation
+                cache.drop(video_id)
+                log.error("failed %s: %s", video_id, e)
+        return done
+
+    def _validate_dims(self, p: ProcessedVideo) -> None:
+        """The reference's dim check (preprocess.py:66-72), with the 296
+        contract it declared but could not meet (SURVEY.md §8.1)."""
+        if (
+            len(p.visual) == 0
+            or p.visual.shape[1] != self.config.visual.feature_dim
+            or p.audio.shape[1] != self.config.audio.feature_dim
+        ):
+            raise ValueError(
+                f"invalid feature dims {p.visual.shape}/{p.audio.shape}"
+            )
+
+    # ------------------------------------------------------------------
+    # on-the-fly summarization (no cache, BASELINE config 3)
+    # ------------------------------------------------------------------
+
+    def summarize(
+        self,
+        video_path: str,
+        model=None,
+        params=None,
+        budget_fraction: Optional[float] = None,
+    ) -> Dict:
+        """raw video -> shot scores -> knapsack summary segments."""
+        import jax.numpy as jnp
+
+        p = self.process_video(video_path)
+        if model is not None and params is not None:
+            mask = np.ones((1, len(p.visual)), np.float32)
+            scores = np.asarray(
+                model.apply(
+                    {"params": params},
+                    p.visual[None],
+                    p.audio[None],
+                    jnp.asarray(mask),
+                )
+            )[0]
+        else:
+            # scoreless fallback: uniform scores -> summary = longest-fit
+            scores = np.ones(len(p.visual), np.float32)
+        budget = (
+            self.config.summary.budget_fraction
+            if budget_fraction is None
+            else budget_fraction
+        )
+        selected, segments = select_summary(
+            scores, p.boundaries, p.n_frames, budget
+        )
+        if len(segments) == 0 and len(p.boundaries) > 0:
+            # every shot exceeds the budget (short video / long takes):
+            # fall back to the best-scoring shot truncated to the budget
+            best = int(np.argmax(scores))
+            start = int(p.boundaries[best, 0])
+            end = min(
+                int(p.boundaries[best, 1]),
+                start + max(int(budget * p.n_frames), 1),
+            )
+            selected = np.zeros(len(p.boundaries), bool)
+            selected[best] = True
+            segments = np.array([[start, end]], np.int64)
+        return {
+            "video_id": p.video_id,
+            "scores": scores,
+            "boundaries": p.boundaries,
+            "selected": selected,
+            "segments": segments,
+            "fps": p.fps,
+            "n_frames": p.n_frames,
+        }

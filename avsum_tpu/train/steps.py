@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -78,9 +79,28 @@ def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
     return {"visual": feat, "audio": feat, "targets": seq, "mask": seq}
 
 
+def pad_batch_for_mesh(batch: Batch, mesh: Mesh) -> Batch:
+    """Pad the batch/sequence axes with masked-out rows so they divide the
+    mesh's data/seq axes (padded rows have mask 0 -> contribute nothing to
+    the masked loss or metrics)."""
+    data_n = mesh.shape[AXIS_DATA]
+    seq_n = mesh.shape[AXIS_SEQ]
+    b, s = batch["mask"].shape
+    pad_b = (-b) % data_n
+    pad_s = (-s) % seq_n
+    if pad_b == 0 and pad_s == 0:
+        return batch
+    out = {}
+    for key, value in batch.items():
+        widths = [(0, pad_b), (0, pad_s)] + [(0, 0)] * (value.ndim - 2)
+        out[key] = jnp.pad(jnp.asarray(value), widths)
+    return out
+
+
 def shard_batch_dict(batch: Batch, mesh: Mesh) -> Batch:
+    batch = pad_batch_for_mesh(batch, mesh)
     shardings = batch_shardings(mesh)
-    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    return {k: jax.device_put(np.asarray(v), shardings[k]) for k, v in batch.items()}
 
 
 def make_train_step(model, mesh: Optional[Mesh] = None, seed: int = 0):

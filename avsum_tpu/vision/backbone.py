@@ -31,6 +31,22 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+class TinyBackbone(nn.Module):
+    """Small conv stand-in for the dual backbone (same 4096-d contract) —
+    used by CPU tests and as a cheap-encoder option; NOT a quality model."""
+
+    out_dim: int = 4096
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = preprocess_frames(frames, 64, self.dtype)
+        x = nn.relu(nn.Conv(32, (5, 5), strides=(4, 4), dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), dtype=self.dtype)(x))
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.out_dim, dtype=jnp.float32)(x)
+
+
 def preprocess_frames(
     frames: jnp.ndarray, size: int, dtype=jnp.float32
 ) -> jnp.ndarray:
@@ -72,11 +88,12 @@ class VisualFrontend:
         seed: int = 0,
         batch_size: int = 32,
         input_size: int = 224,
+        model=None,
     ):
         self.config = config
         self.batch_size = batch_size
         dtype = _DTYPES[config.dtype]
-        self.model = DualBackbone(dtype=dtype)
+        self.model = model if model is not None else DualBackbone(dtype=dtype)
         if variables is None:
             variables = self.model.init(
                 jax.random.PRNGKey(seed),
@@ -124,6 +141,32 @@ class VisualFrontend:
         np.add.at(sums, ids, feats)
         np.add.at(counts, ids, 1.0)
         return sums / np.maximum(counts, 1.0)[:, None]
+
+
+def make_visual_frontend(
+    config: VisualFeatConfig = VisualFeatConfig(), **kwargs
+) -> "VisualFrontend":
+    """Build the frontend for config.backbone: dual | resnet50 | tiny."""
+    dtype = _DTYPES[config.dtype]
+    if config.backbone == "dual":
+        model = None  # DualBackbone default
+    elif config.backbone == "resnet50":
+        from avsum_tpu.vision.resnet import ResNet50
+
+        class _ResNetOnly(nn.Module):
+            @nn.compact
+            def __call__(self, frames, train: bool = False):
+                x = preprocess_frames(frames, 224, dtype)
+                feats = ResNet50(dtype=dtype, name="resnet")(x, train)
+                # tile 2048 -> 4096 to honor the feature-dim contract
+                return jnp.concatenate([feats, feats], axis=-1)
+
+        model = _ResNetOnly()
+    elif config.backbone == "tiny":
+        model = TinyBackbone(config.feature_dim, dtype)
+    else:
+        raise ValueError(f"unknown visual backbone {config.backbone!r}")
+    return VisualFrontend(config, model=model, **kwargs)
 
 
 def sample_shot_frames(
