@@ -64,10 +64,16 @@ class AudioFrontend:
         self.config = config
         self.vggish = VGGish()
         if vggish_params is None:
-            vggish_params = self.vggish.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, VGGISH_FRAMES, 64))
+            from avsum_tpu.vision.backbone import fast_init
+
+            vggish_params = fast_init(
+                self.vggish,
+                jnp.zeros((1, VGGISH_FRAMES, 64)),
+                seed=seed,
             )["params"]
-        self.vggish_params = vggish_params
+        # pin on device once (re-shipping fc1's 50M params per call would
+        # dominate the whole pipeline on a slow host link)
+        self.vggish_params = jax.device_put(vggish_params)
         self._shot_features = jax.jit(self._shot_features_impl)
 
     def _shot_features_impl(

@@ -61,6 +61,31 @@ def _load():
                 ctypes.c_long,  # count
                 ctypes.c_void_p,  # out uint8 buffer [count, H, W, 3]
             ]
+            lib.avsumio_y4m_read_rgb_scaled.restype = ctypes.c_int
+            lib.avsumio_y4m_read_rgb_scaled.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long,
+                ctypes.c_int,  # scale
+                ctypes.c_void_p,
+            ]
+            lib.avsumio_y4m_read_yuv.restype = ctypes.c_int
+            lib.avsumio_y4m_read_yuv.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
+            lib.avsumio_content_scores.restype = ctypes.c_int
+            lib.avsumio_content_scores.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_long,  # start
+                ctypes.c_long,  # stop
+                ctypes.c_int,  # scale
+                ctypes.POINTER(ctypes.c_float),
+            ]
             lib.avsumio_prefetch_start.restype = ctypes.c_int
             lib.avsumio_prefetch_start.argtypes = [
                 ctypes.c_void_p,
@@ -120,6 +145,65 @@ class NativeY4MReader:
 
     def read_frame(self, index: int) -> np.ndarray:
         return self.read_frames([index])[0]
+
+    def read_yuv420(self, indices):
+        """Raw YUV420 planes (Y [N,H,W], U/V [N,H/2,W/2]) — half the bytes
+        of RGB for the host->device link; convert on device
+        (:func:`avsum_tpu.ops.color.yuv420_to_rgb_device`)."""
+        idx = np.ascontiguousarray(np.asarray(indices, np.int64))
+        n = len(idx)
+        y = np.empty((n, self.height, self.width), np.uint8)
+        u = np.empty((n, self.height // 2, self.width // 2), np.uint8)
+        v = np.empty((n, self.height // 2, self.width // 2), np.uint8)
+        rc = self._lib.avsumio_y4m_read_yuv(
+            self._handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            n,
+            y.ctypes.data_as(ctypes.c_void_p),
+            u.ctypes.data_as(ctypes.c_void_p),
+            v.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise IOError(f"avsumio yuv read failed rc={rc}")
+        return y, u, v
+
+    def content_scores(
+        self, start: int = 0, stop: Optional[int] = None, scale: int = 1
+    ) -> np.ndarray:
+        """Host-side ContentDetector scores [stop-start] — decode + HSV diff
+        entirely in C++, zero bytes shipped to the device."""
+        stop = self.n_frames if stop is None else min(stop, self.n_frames)
+        out = np.empty(max(stop - start, 0), np.float32)
+        if out.size == 0:
+            return out
+        rc = self._lib.avsumio_content_scores(
+            self._handle,
+            start,
+            stop,
+            scale,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise IOError(f"avsumio content_scores failed rc={rc}")
+        return out
+
+    def read_frames_scaled(self, indices, scale: int) -> np.ndarray:
+        """Nearest-subsampled frames [N, H//scale, W//scale, 3] (for shot
+        detection, which downscales like PySceneDetect)."""
+        idx = np.ascontiguousarray(np.asarray(indices, np.int64))
+        out = np.empty(
+            (len(idx), self.height // scale, self.width // scale, 3), np.uint8
+        )
+        rc = self._lib.avsumio_y4m_read_rgb_scaled(
+            self._handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            len(idx),
+            scale,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise IOError(f"avsumio scaled read failed rc={rc}")
+        return out
 
     def iter_frames(self, start: int = 0, stop: Optional[int] = None) -> Iterator[np.ndarray]:
         stop = self.n_frames if stop is None else min(stop, self.n_frames)

@@ -144,6 +144,14 @@ class Y4MReader:
     def read_frames(self, indices) -> np.ndarray:
         return np.stack([self.read_frame(int(i)) for i in indices])
 
+    def read_frames_scaled(self, indices, scale: int) -> np.ndarray:
+        """Nearest-subsampled frames (PySceneDetect-style downscale)."""
+        if scale == 1:
+            return self.read_frames(indices)
+        return np.stack(
+            [self.read_frame(int(i))[::scale, ::scale] for i in indices]
+        )
+
     def iter_frames(self, start: int = 0, stop: Optional[int] = None) -> Iterator[np.ndarray]:
         stop = self.n_frames if stop is None else min(stop, self.n_frames)
         for i in range(start, stop):

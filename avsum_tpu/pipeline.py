@@ -64,6 +64,7 @@ class AVPipeline:
         self.visual = visual_frontend or make_visual_frontend(config.visual)
         self.audio = audio_frontend or AudioFrontend(config.audio)
         self.detector = detector or ContentDetectorConfig()
+        self._scorer_jit = None
 
     # ------------------------------------------------------------------
     # decode helpers
@@ -83,6 +84,25 @@ class AVPipeline:
             if buf:
                 yield np.stack(buf)
 
+    @staticmethod
+    def _detect_downscale(width: int) -> int:
+        """Auto-downscale for content scoring: aim for an effective width
+        around 100 px. Scores are per-pixel means, so subsampling barely
+        moves them (cut agreement verified in tests/test_shots.py) while
+        cutting detection cost ~N^2. More aggressive than PySceneDetect's
+        default because detection runs on a single host core here."""
+        return max(2, round(width / 100))
+
+    def _stream_scaled_blocks(
+        self, reader, scale: int, block: int = 512
+    ) -> Iterator[np.ndarray]:
+        if scale > 1 and hasattr(reader, "read_frames_scaled"):
+            for start in range(0, reader.n_frames, block):
+                idx = range(start, min(start + block, reader.n_frames))
+                yield reader.read_frames_scaled(idx, scale)
+        else:
+            yield from self._stream_blocks(reader, block)
+
     def _load_audio(self, video_path: str, duration_s: float) -> np.ndarray:
         wav_path = audio_path_for(video_path)
         sr = self.config.audio.sample_rate
@@ -101,24 +121,52 @@ class AVPipeline:
         try:
             fps, n_frames = reader.fps, reader.n_frames
             with annotate("avsum.shot_detect"):
-                boundaries, total = detect_shots_streaming(
-                    self._stream_blocks(reader), self.detector
-                )
+                scale = self._detect_downscale(reader.width)
+                if hasattr(reader, "content_scores"):
+                    # native host-side path: zero bytes cross the host->TPU
+                    # link for detection
+                    from avsum_tpu.temporal.shots import (
+                        boundaries_from_cuts,
+                        cuts_from_scores,
+                    )
+
+                    scores = reader.content_scores(scale=scale)
+                    cuts = cuts_from_scores(
+                        scores, self.detector.threshold, self.detector.min_scene_len
+                    )
+                    boundaries = boundaries_from_cuts(cuts, n_frames)
+                    total = n_frames
+                else:
+                    boundaries, total = detect_shots_streaming(
+                        self._stream_scaled_blocks(reader, scale), self.detector
+                    )
             if total != n_frames:
                 n_frames = total
             if len(boundaries) == 0:
                 boundaries = np.array([[0, n_frames]], np.int64)
 
             with annotate("avsum.visual_features"):
+                if self.config.visual.sample_fps > 0:
+                    stride = max(1, round(fps / self.config.visual.sample_fps))
+                else:
+                    stride = self.config.visual.frame_stride
                 frame_idx, shot_ids = sample_shot_frames(
                     boundaries,
-                    self.config.visual.frame_stride,
+                    stride,
                     self.config.visual.max_frames_per_shot,
                 )
-                frames = reader.read_frames(frame_idx)
-                visual = self.visual.shot_features(
-                    frames, shot_ids, len(boundaries)
-                )
+                if hasattr(reader, "read_yuv420"):
+                    # ship raw YUV420 planes (half the bytes of RGB) and
+                    # convert on device
+                    yuv = reader.read_yuv420(frame_idx)
+                    visual = self.visual.shot_features(
+                        None, shot_ids, len(boundaries), yuv=yuv
+                    )
+                else:
+                    frames = reader.read_frames(frame_idx)
+                    visual = self.visual.shot_features(
+                        frames, shot_ids, len(boundaries)
+                    )
 
             with annotate("avsum.audio_features"):
                 waveform = self._load_audio(video_path, n_frames / fps)
@@ -193,19 +241,31 @@ class AVPipeline:
         budget_fraction: Optional[float] = None,
     ) -> Dict:
         """raw video -> shot scores -> knapsack summary segments."""
+        import jax
         import jax.numpy as jnp
 
         p = self.process_video(video_path)
         if model is not None and params is not None:
-            mask = np.ones((1, len(p.visual)), np.float32)
-            scores = np.asarray(
-                model.apply(
-                    {"params": params},
-                    p.visual[None],
-                    p.audio[None],
-                    jnp.asarray(mask),
+            params = jax.device_put(params)  # no-op if already resident
+            if self._scorer_jit is None:
+                self._scorer_jit = jax.jit(
+                    lambda pr, v, a, m: model.apply({"params": pr}, v, a, m)
                 )
-            )[0]
+            # pad the shot axis to a small set of buckets so different
+            # videos reuse the same compiled scorer program
+            s = len(p.visual)
+            from avsum_tpu.parallel.mesh import pad_to_multiple
+
+            s_pad = pad_to_multiple(s, 32)
+            visual = np.zeros((1, s_pad, p.visual.shape[1]), np.float32)
+            audio = np.zeros((1, s_pad, p.audio.shape[1]), np.float32)
+            mask = np.zeros((1, s_pad), np.float32)
+            visual[0, :s] = p.visual
+            audio[0, :s] = p.audio
+            mask[0, :s] = 1.0
+            scores = np.asarray(
+                self._scorer_jit(params, visual, audio, mask)
+            )[0, :s]
         else:
             # scoreless fallback: uniform scores -> summary = longest-fit
             scores = np.ones(len(p.visual), np.float32)

@@ -69,6 +69,42 @@ def knapsack_select(
     return selected_rev
 
 
+def knapsack_select_np(
+    values: np.ndarray,
+    weights: np.ndarray,
+    capacity: int,
+    mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Vectorized NumPy DP (same algorithm/results as the jit version).
+
+    For TVSum-sized problems (S~50, capacity~10^3-10^4) this is
+    microseconds with zero compilation; the jit/device version pays a
+    per-capacity XLA compile, which only amortizes at hour-scale capacities
+    or when the data already lives on device.
+    """
+    values = np.asarray(values, np.float64).reshape(-1)
+    weights = np.asarray(weights, np.int64).reshape(-1)
+    valid = np.ones(len(values), bool) if mask is None else np.asarray(mask, bool)
+    dp = np.zeros(capacity + 1)
+    keep = np.zeros((len(values), capacity + 1), bool)
+    caps = np.arange(capacity + 1)
+    for i, (v, w, ok) in enumerate(zip(values, weights, valid)):
+        if not ok or w <= 0 or w > capacity:
+            continue
+        cand = np.full(capacity + 1, NEG_INF)
+        cand[w:] = dp[:-w] + v if w else dp + v
+        take = cand > dp
+        dp = np.where(take, cand, dp)
+        keep[i] = take
+    selected = np.zeros(len(values), bool)
+    c = capacity
+    for i in range(len(values) - 1, -1, -1):
+        if keep[i, c]:
+            selected[i] = True
+            c -= int(weights[i])
+    return selected
+
+
 def select_summary(
     shot_scores: np.ndarray,
     shot_boundaries: np.ndarray,
@@ -93,9 +129,12 @@ def select_summary(
     # importance), the standard knapsack objective for this protocol.
     values = scores * lengths.astype(np.float32)
     capacity = int(budget_fraction * total_frames)
-    selected = np.asarray(
-        knapsack_select(values, lengths.astype(np.int32), capacity)
-    )
+    if len(values) * (capacity + 1) < 50_000_000:
+        selected = knapsack_select_np(values, lengths, capacity)
+    else:
+        selected = np.asarray(
+            knapsack_select(values, lengths.astype(np.int32), capacity)
+        )
     segments = bounds[selected]
     return selected, segments
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from avsum_tpu.ops.color import rgb_to_hsv_cv
+from avsum_tpu.ops.color import rgb_to_hsv_channels
 
 DEFAULT_THRESHOLD = 27.0
 DEFAULT_MIN_SCENE_LEN = 15
@@ -45,23 +45,26 @@ def content_scores(frames: jnp.ndarray) -> jnp.ndarray:
     """[T, H, W, 3] RGB -> [T] content-change score (score[0] = 0).
 
     score[t] = mean(|HSV[t] - HSV[t-1]|) averaged over pixels, per channel,
-    then channel-weighted mean — ContentDetector's frame_score.
+    then channel-averaged — ContentDetector's frame_score. Channels are
+    processed as separate [T, H, W] arrays (minor dim = width); keeping
+    the size-3 channel axis minor is a TPU layout pathology.
     """
-    hsv = rgb_to_hsv_cv(frames)
-    diff = jnp.abs(hsv[1:] - hsv[:-1])  # [T-1, H, W, 3]
-    per_channel = jnp.mean(diff, axis=(1, 2))  # [T-1, 3]
-    score = jnp.mean(per_channel, axis=-1)  # equal weights
+    h, s, v = rgb_to_hsv_channels(frames)
+    score = sum(
+        jnp.mean(jnp.abs(c[1:] - c[:-1]), axis=(1, 2)) for c in (h, s, v)
+    ) / 3.0
     return jnp.concatenate([jnp.zeros(1, score.dtype), score])
 
 
 def content_scores_weighted(
     frames: jnp.ndarray, config: ContentDetectorConfig
 ) -> jnp.ndarray:
-    hsv = rgb_to_hsv_cv(frames)
-    diff = jnp.abs(hsv[1:] - hsv[:-1])
-    per_channel = jnp.mean(diff, axis=(1, 2))
-    w = jnp.array([config.weight_hue, config.weight_sat, config.weight_lum])
-    score = jnp.sum(per_channel * w, axis=-1) / jnp.sum(w)
+    h, s, v = rgb_to_hsv_channels(frames)
+    weights = (config.weight_hue, config.weight_sat, config.weight_lum)
+    score = sum(
+        w * jnp.mean(jnp.abs(c[1:] - c[:-1]), axis=(1, 2))
+        for w, c in zip(weights, (h, s, v))
+    ) / sum(weights)
     return jnp.concatenate([jnp.zeros(1, score.dtype), score])
 
 

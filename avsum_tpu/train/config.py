@@ -51,6 +51,11 @@ class AudioFeatConfig:
 class VisualFeatConfig:
     resnet_size: int = 224
     inception_size: int = 299
+    # frame sampling: sample_fps > 0 samples at that rate (the declared
+    # reference config, data_config.yaml: visual sample_rate: 2, and the
+    # literature standard); sample_fps == 0 falls back to every
+    # frame_stride-th frame (the reference code's behavior, extractors.py:399)
+    sample_fps: float = 2.0
     frame_stride: int = 3  # reference: every 3rd frame (extractors.py:399)
     max_frames_per_shot: int = 96  # reference caps at 100; 96 = multiple of 8
     backbone: str = "dual"  # dual (resnet50+inceptionv3) | resnet50 | vit

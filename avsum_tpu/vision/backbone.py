@@ -78,6 +78,33 @@ class DualBackbone(nn.Module):
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
+def fast_init(model, sample_input, seed: int = 0):
+    """Initialize module variables with host-side numpy RNG.
+
+    ``model.init`` traces + compiles an init program; for the dual backbone
+    (hundreds of convs) that compile takes minutes on this host. Since the
+    backbone weights are random anyway unless a torchvision port is loaded,
+    build the pytree from ``jax.eval_shape`` and fill it with fan-in-scaled
+    normals (BN scale=1/bias=0/mean=0/var=1) — milliseconds, no compile.
+    """
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), sample_input)
+    )
+    rng = np.random.default_rng(seed)
+
+    def fill(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        shape, dtype = leaf.shape, leaf.dtype
+        if name in ("scale", "var"):
+            return np.ones(shape, dtype)
+        if name in ("bias", "mean"):
+            return np.zeros(shape, dtype)
+        fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else int(shape[0])
+        return (rng.standard_normal(shape) / np.sqrt(max(fan_in, 1))).astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
 class VisualFrontend:
     """Whole-video frame embedding + per-shot mean pooling."""
 
@@ -95,20 +122,35 @@ class VisualFrontend:
         dtype = _DTYPES[config.dtype]
         self.model = model if model is not None else DualBackbone(dtype=dtype)
         if variables is None:
-            variables = self.model.init(
-                jax.random.PRNGKey(seed),
-                jnp.zeros((1, input_size, input_size, 3), jnp.float32),
+            variables = fast_init(
+                self.model,
+                np.zeros((1, input_size, input_size, 3), np.float32),
+                seed=seed,
             )
-        self.variables = variables
+        # Pin variables on device ONCE. Passing a host pytree into every
+        # jit call re-ships ~hundreds of MB of weights per call — through a
+        # slow host link that dominates everything else.
+        self.variables = jax.device_put(variables)
         self._embed = jax.jit(
             lambda v, f: self.model.apply(v, f, train=False)
         )
 
+        def embed_yuv(variables, y, u, v):
+            from avsum_tpu.ops.color import yuv420_to_rgb_device
+
+            r, g, b = yuv420_to_rgb_device(y, u, v)
+            frames = jnp.stack([r, g, b], axis=-1)
+            return self.model.apply(variables, frames, train=False)
+
+        self._embed_yuv = jax.jit(embed_yuv)
+
     def frame_features(self, frames: np.ndarray) -> np.ndarray:
         """[F, H, W, 3] RGB frames -> [F, 4096], in fixed-size jit batches
-        (tail padded so only a handful of distinct shapes ever compile)."""
+        (tail padded so only one shape ever compiles). Dispatches stay
+        async on device; a single host readback at the end (the per-batch
+        sync would pay the host<->device latency ~30x per video)."""
         f = frames.shape[0]
-        out = []
+        pending = []
         for i in range(0, f, self.batch_size):
             chunk = frames[i : i + self.batch_size]
             n = chunk.shape[0]
@@ -117,24 +159,50 @@ class VisualFrontend:
                     [chunk, np.zeros((self.batch_size - n, *chunk.shape[1:]),
                                      chunk.dtype)]
                 )
-            feats = np.asarray(self._embed(self.variables, jnp.asarray(chunk)))
-            out.append(feats[:n])
-        return (
-            np.concatenate(out, axis=0)
-            if out
-            else np.zeros((0, self.config.feature_dim), np.float32)
-        )
+            pending.append(self._embed(self.variables, jnp.asarray(chunk)))
+        if not pending:
+            return np.zeros((0, self.config.feature_dim), np.float32)
+        stacked = jax.device_get(pending)
+        return np.concatenate(stacked, axis=0)[:f]
+
+    def frame_features_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        """YUV420-plane variant of frame_features (half the shipped bytes)."""
+        f = y.shape[0]
+        pending = []
+        for i in range(0, f, self.batch_size):
+            sl = slice(i, i + self.batch_size)
+            yc, uc, vc = y[sl], u[sl], v[sl]
+            n = yc.shape[0]
+            if n < self.batch_size:
+                pad = self.batch_size - n
+                yc = np.concatenate([yc, np.zeros((pad, *yc.shape[1:]), yc.dtype)])
+                uc = np.concatenate([uc, np.zeros((pad, *uc.shape[1:]), uc.dtype)])
+                vc = np.concatenate([vc, np.zeros((pad, *vc.shape[1:]), vc.dtype)])
+            pending.append(
+                self._embed_yuv(
+                    self.variables, jnp.asarray(yc), jnp.asarray(uc), jnp.asarray(vc)
+                )
+            )
+        if not pending:
+            return np.zeros((0, self.config.feature_dim), np.float32)
+        return np.concatenate(jax.device_get(pending), axis=0)[:f]
 
     def shot_features(
         self,
         frames: np.ndarray,
         frame_shot_ids: np.ndarray,
         n_shots: int,
+        yuv=None,
     ) -> np.ndarray:
         """Frames tagged with their shot id -> [n_shots, 4096] mean-pooled.
         Shots with no sampled frames get zeros (the reference's empty-shot
-        fallback, extractors.py:44-45)."""
-        feats = self.frame_features(frames)
+        fallback, extractors.py:44-45). Pass ``yuv=(y,u,v)`` planes (and
+        frames=None) to use the cheap-transfer YUV path."""
+        feats = (
+            self.frame_features_yuv(*yuv)
+            if yuv is not None
+            else self.frame_features(frames)
+        )
         ids = np.asarray(frame_shot_ids, np.int64)
         sums = np.zeros((n_shots, feats.shape[1]), np.float32)
         counts = np.zeros(n_shots, np.float32)

@@ -97,6 +97,37 @@ void decode_frame(const Y4M* r, long index, uint8_t* out) {
   }
 }
 
+// Nearest-neighbor scaled decode (PySceneDetect-style downscale: frames
+// are subsampled, not filtered, before content scoring).
+void decode_frame_scaled(const Y4M* r, long index, int scale, uint8_t* out) {
+  const uint8_t* frame = r->map + r->data_start + (size_t)index * r->frame_bytes;
+  const uint8_t* nl = (const uint8_t*)memchr(frame, '\n', r->frame_bytes);
+  const uint8_t* yp = nl + 1;
+  const uint8_t* up = yp + r->ysize;
+  const uint8_t* vp = up + r->csize;
+  int cw = r->width / r->chroma_div_w;
+  int oh = r->height / scale, ow = r->width / scale;
+  for (int row = 0; row < oh; ++row) {
+    int src_row = row * scale;
+    const uint8_t* y_row = yp + (size_t)src_row * r->width;
+    const uint8_t* u_row = up + (size_t)(src_row / r->chroma_div_h) * cw;
+    const uint8_t* v_row = vp + (size_t)(src_row / r->chroma_div_h) * cw;
+    uint8_t* o = out + (size_t)row * ow * 3;
+    for (int x = 0; x < ow; ++x) {
+      int sx = x * scale;
+      int Y = y_row[sx];
+      int U = u_row[sx / r->chroma_div_w] - 128;
+      int V = v_row[sx / r->chroma_div_w] - 128;
+      int rr = Y + ((91881 * V) >> 16);
+      int gg = Y - ((22554 * U + 46802 * V) >> 16);
+      int bb = Y + ((116130 * U) >> 16);
+      o[3 * x + 0] = (uint8_t)(rr < 0 ? 0 : (rr > 255 ? 255 : rr));
+      o[3 * x + 1] = (uint8_t)(gg < 0 ? 0 : (gg > 255 ? 255 : gg));
+      o[3 * x + 2] = (uint8_t)(bb < 0 ? 0 : (bb > 255 ? 255 : bb));
+    }
+  }
+}
+
 void prefetch_main(Y4M* r) {
   const size_t frame_rgb = (size_t)r->height * r->width * 3;
   long index = r->pf_start;
@@ -123,6 +154,64 @@ void prefetch_main(Y4M* r) {
   Block sentinel;  // count == 0 marks end-of-stream
   r->queue.push_back(std::move(sentinel));
   r->cv_ready.notify_one();
+}
+
+// OpenCV-convention HSV from RGB (float, H in [0,180), S/V in [0,255]) —
+// must match avsum_tpu/ops/color.py::rgb_to_hsv_channels.
+inline void rgb_to_hsv(float r, float g, float b, float* h, float* s,
+                       float* v) {
+  float mx = r > g ? (r > b ? r : b) : (g > b ? g : b);
+  float mn = r < g ? (r < b ? r : b) : (g < b ? g : b);
+  float delta = mx - mn;
+  *v = mx;
+  *s = mx > 0.f ? 255.f * delta / mx : 0.f;
+  float hh = 0.f;
+  if (delta > 0.f) {
+    if (mx == r)
+      hh = 60.f * (g - b) / delta;
+    else if (mx == g)
+      hh = 120.f + 60.f * (b - r) / delta;
+    else
+      hh = 240.f + 60.f * (r - g) / delta;
+    if (hh < 0.f) hh += 360.f;
+  }
+  *h = hh * 0.5f;
+}
+
+// Host-side ContentDetector scores: decode (scaled), HSV, mean |diff| per
+// channel vs previous frame, average channels. Runs at memory bandwidth on
+// the host so NO frame bytes cross the (slow) host->TPU link for shot
+// detection. out[0] = 0, out[t] = score of frame start+t.
+int content_scores_impl(Y4M* r, long start, long stop, int scale,
+                        float* out) {
+  if (stop > r->n_frames) stop = r->n_frames;
+  if (start < 0 || start >= stop || scale < 1) return -1;
+  int oh = r->height / scale, ow = r->width / scale;
+  size_t npix = (size_t)oh * ow;
+  std::vector<uint8_t> rgb(npix * 3);
+  std::vector<float> prev_h(npix), prev_s(npix), prev_v(npix);
+  std::vector<float> cur_h(npix), cur_s(npix), cur_v(npix);
+  for (long t = start; t < stop; ++t) {
+    if (scale == 1)
+      decode_frame(r, t, rgb.data());
+    else
+      decode_frame_scaled(r, t, scale, rgb.data());
+    double dh = 0, ds = 0, dv = 0;
+    for (size_t i = 0; i < npix; ++i) {
+      float h, s, v;
+      rgb_to_hsv(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2], &h, &s, &v);
+      cur_h[i] = h; cur_s[i] = s; cur_v[i] = v;
+      if (t > start) {
+        dh += h > prev_h[i] ? h - prev_h[i] : prev_h[i] - h;
+        ds += s > prev_s[i] ? s - prev_s[i] : prev_s[i] - s;
+        dv += v > prev_v[i] ? v - prev_v[i] : prev_v[i] - v;
+      }
+    }
+    out[t - start] =
+        t == start ? 0.f : (float)((dh + ds + dv) / (3.0 * (double)npix));
+    cur_h.swap(prev_h); cur_s.swap(prev_s); cur_v.swap(prev_v);
+  }
+  return 0;
 }
 
 }  // namespace
@@ -226,6 +315,51 @@ int avsumio_y4m_read_rgb(void* handle, const long* indices, long count,
     long idx = indices[i];
     if (idx < 0 || idx >= r->n_frames) return -1;
     decode_frame(r, idx, dst + (size_t)i * frame_rgb);
+  }
+  return 0;
+}
+
+int avsumio_y4m_read_rgb_scaled(void* handle, const long* indices, long count,
+                                int scale, void* out) {
+  Y4M* r = (Y4M*)handle;
+  if (scale < 1) return -2;
+  if (scale == 1) return avsumio_y4m_read_rgb(handle, indices, count, out);
+  const size_t frame_rgb =
+      (size_t)(r->height / scale) * (r->width / scale) * 3;
+  uint8_t* dst = (uint8_t*)out;
+  for (long i = 0; i < count; ++i) {
+    long idx = indices[i];
+    if (idx < 0 || idx >= r->n_frames) return -1;
+    decode_frame_scaled(r, idx, scale, dst + (size_t)i * frame_rgb);
+  }
+  return 0;
+}
+
+int avsumio_content_scores(void* handle, long start, long stop, int scale,
+                           float* out) {
+  return content_scores_impl((Y4M*)handle, start, stop, scale, out);
+}
+
+// Raw YUV420 plane extraction (pure memcpy — no color conversion). The
+// device does YUV->RGB; shipping planes instead of RGB halves the bytes
+// over the host->TPU link. Buffers: y [count,H,W], u/v [count,H/2,W/2].
+int avsumio_y4m_read_yuv(void* handle, const long* indices, long count,
+                         void* y_out, void* u_out, void* v_out) {
+  Y4M* r = (Y4M*)handle;
+  if (r->chroma_div_h != 2 || r->chroma_div_w != 2) return -3;  // C420 only
+  uint8_t* yd = (uint8_t*)y_out;
+  uint8_t* ud = (uint8_t*)u_out;
+  uint8_t* vd = (uint8_t*)v_out;
+  for (long i = 0; i < count; ++i) {
+    long idx = indices[i];
+    if (idx < 0 || idx >= r->n_frames) return -1;
+    const uint8_t* frame =
+        r->map + r->data_start + (size_t)idx * r->frame_bytes;
+    const uint8_t* nl = (const uint8_t*)memchr(frame, '\n', r->frame_bytes);
+    const uint8_t* yp = nl + 1;
+    memcpy(yd + (size_t)i * r->ysize, yp, r->ysize);
+    memcpy(ud + (size_t)i * r->csize, yp + r->ysize, r->csize);
+    memcpy(vd + (size_t)i * r->csize, yp + r->ysize + r->csize, r->csize);
   }
   return 0;
 }

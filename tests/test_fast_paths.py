@@ -1,0 +1,97 @@
+"""Fast-path parity: native content scores, YUV device conversion,
+aggressive downscale cut recovery, numpy knapsack vs jit DP."""
+
+import numpy as np
+import pytest
+
+from avsum_tpu.io.native import NativeY4MReader, native_available
+from avsum_tpu.io.synthetic import make_scene_video, write_scene_video
+from avsum_tpu.io.y4m import Y4MReader
+from avsum_tpu.summary.knapsack import knapsack_select, knapsack_select_np
+from avsum_tpu.temporal.shots import (
+    boundaries_from_cuts,
+    content_scores,
+    cuts_from_scores,
+    detect_shots,
+)
+
+needs_native = pytest.mark.skipif(
+    not native_available(), reason="libavsumio.so not built"
+)
+
+
+@needs_native
+def test_native_content_scores_same_cuts_as_device(tmp_path):
+    import jax.numpy as jnp
+
+    stem = str(tmp_path / "v")
+    write_scene_video(stem, n_scenes=4, seed=60, height=48, width=64)
+    nat = NativeY4MReader(stem + ".y4m")
+    s_native = nat.content_scores(scale=1)
+    with Y4MReader(stem + ".y4m") as py:
+        frames = py.read_frames(range(py.n_frames))
+    s_dev = np.asarray(content_scores(jnp.asarray(frames)))
+    assert cuts_from_scores(s_native) == cuts_from_scores(s_dev)
+    assert np.corrcoef(s_native, s_dev)[0, 1] > 0.99
+
+
+@needs_native
+def test_downscaled_detection_scale_invariant(tmp_path):
+    """The auto-downscale policy rests on content scores being subsample-
+    invariant: cuts at scale 2/4 must match full-resolution cuts exactly.
+    (Ground-truth recovery itself is covered in test_shots.py.)"""
+    stem = str(tmp_path / "d")
+    write_scene_video(stem, n_scenes=5, seed=61, height=96, width=128)
+    nat = NativeY4MReader(stem + ".y4m")
+    ref = cuts_from_scores(nat.content_scores(scale=1))
+    for scale in (2, 4):
+        assert cuts_from_scores(nat.content_scores(scale=scale)) == ref
+
+
+@needs_native
+def test_yuv_planes_roundtrip_to_rgb(tmp_path):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from avsum_tpu.ops.color import yuv420_to_rgb_device
+
+    stem = str(tmp_path / "y")
+    write_scene_video(stem, n_scenes=2, seed=62, height=48, width=64)
+    nat = NativeY4MReader(stem + ".y4m")
+    idx = [0, 3, 7]
+    rgb_native = nat.read_frames(idx).astype(np.float32)
+    y, u, v = nat.read_yuv420(idx)
+    r, g, b = yuv420_to_rgb_device(y, u, v)
+    rgb_dev = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], axis=-1)
+    # float device conversion vs fixed-point C++: small rounding differences
+    assert np.abs(rgb_dev - rgb_native).max() <= 2.0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_knapsack_np_matches_jit(seed):
+    rng = np.random.default_rng(seed)
+    n = 24
+    values = rng.random(n).astype(np.float32) * 5
+    weights = rng.integers(1, 40, n)
+    capacity = int(weights.sum() * 0.3)
+    sel_np = knapsack_select_np(values, weights, capacity)
+    sel_jit = np.asarray(
+        knapsack_select(values, weights.astype(np.int32), capacity)
+    )
+    assert values[sel_np].sum() == pytest.approx(values[sel_jit].sum(), rel=1e-5)
+    assert weights[sel_np].sum() <= capacity
+
+
+def test_knapsack_np_respects_mask_and_oversize():
+    values = np.array([10.0, 1.0, 5.0])
+    weights = np.array([100, 2, 3])  # item 0 exceeds capacity entirely
+    mask = np.array([True, True, False])
+    sel = knapsack_select_np(values, weights, 10, mask)
+    assert list(sel) == [False, True, False]
+
+
+def test_detect_shots_device_path_still_works():
+    video, _, scenes = make_scene_video(n_scenes=3, seed=63, height=32, width=48)
+    bounds = detect_shots(video)
+    assert bounds[-1][1] == video.shape[0]
+    assert 2 <= len(bounds) <= 5
