@@ -43,6 +43,7 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int = 4
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    chunk_size: int = 0  # >0: blockwise query chunking (O(chunk*S) memory)
 
     @nn.compact
     def __call__(
@@ -63,6 +64,10 @@ class MultiHeadSelfAttention(nn.Module):
             from avsum_tpu.ops import flash_attention
 
             ctx = flash_attention(q, k, v, mask=mask)
+        elif self.chunk_size > 0:
+            from avsum_tpu.ops.chunked import chunked_attention
+
+            ctx = chunked_attention(q, k, v, mask=mask, chunk_size=self.chunk_size).astype(self.dtype)
         else:
             scale = d ** -0.5
             logits = jnp.einsum(

@@ -101,7 +101,11 @@ class AVScorer(nn.Module):
 
         fused = jnp.concatenate([v, a], axis=-1)  # [B,S,2H]
         fused = fused + MultiHeadSelfAttention(
-            2 * cfg.hidden_dim, cfg.num_heads, dtype=dtype, name="cross_attention"
+            2 * cfg.hidden_dim,
+            cfg.num_heads,
+            dtype=dtype,
+            chunk_size=cfg.chunk_size,
+            name="cross_attention",
         )(fused, mask)
 
         x = nn.Dense(cfg.scorer_hidden, dtype=dtype, name="scorer_hidden")(fused)
