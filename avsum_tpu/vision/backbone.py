@@ -230,6 +230,14 @@ def make_visual_frontend(
                 return jnp.concatenate([feats, feats], axis=-1)
 
         model = _ResNetOnly()
+    elif config.backbone == "vit":
+        from avsum_tpu.vision.vit import ViTBackbone
+
+        model = ViTBackbone(
+            out_dim=config.feature_dim,
+            image_size=config.resnet_size,
+            dtype=dtype,
+        )
     elif config.backbone == "tiny":
         model = TinyBackbone(config.feature_dim, dtype)
     else:
