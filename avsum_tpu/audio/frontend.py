@@ -32,7 +32,11 @@ from avsum_tpu.audio.vggish import (
     VGGish,
     vggish_log_mel_patches,
 )
-from avsum_tpu.ops.spectral import log_mel_spectrogram, mfcc
+from avsum_tpu.ops.spectral import (
+    amplitude_to_db,
+    dct_matrix,
+    mel_spectrogram,
+)
 from avsum_tpu.train.config import AudioFeatConfig
 
 
@@ -60,7 +64,9 @@ class AudioFrontend:
         config: AudioFeatConfig = AudioFeatConfig(),
         vggish_params=None,
         seed: int = 0,
+        use_pallas: bool = False,
     ):
+        self.use_pallas = use_pallas
         self.config = config
         self.vggish = VGGish()
         if vggish_params is None:
@@ -84,25 +90,38 @@ class AudioFrontend:
         mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.config
-        mf = mfcc(
-            waveform,
-            cfg.sample_rate,
-            n_mfcc=cfg.n_mfcc,
-            n_mels=cfg.n_mels,
-            n_fft=cfg.n_fft,
-            hop_length=cfg.hop_length,
-            win_length=cfg.win_length,
+        # one STFT->mel pass feeds BOTH the MFCC and log-mel streams (the
+        # reference recomputed the spectrogram per transform); optionally
+        # the fully fused Pallas kernel (ops/pallas_melspec.py)
+        if self.use_pallas and cfg.n_fft == 2 * cfg.hop_length:
+            from avsum_tpu.ops.pallas_melspec import fused_log_mel
+
+            mel, lm = fused_log_mel(
+                waveform,
+                sample_rate=cfg.sample_rate,
+                n_fft=cfg.n_fft,
+                hop_length=cfg.hop_length,
+                n_mels=cfg.n_mels,
+                eps=cfg.eps,
+            )
+        else:
+            mel = mel_spectrogram(
+                waveform,
+                cfg.sample_rate,
+                n_fft=cfg.n_fft,
+                hop_length=cfg.hop_length,
+                win_length=cfg.win_length,
+                n_mels=cfg.n_mels,
+            )
+            lm = jnp.log(mel + cfg.eps)
+            if cfg.log_base2:
+                lm = lm / jnp.log(2.0)
+        # torchaudio-MFCC semantics: dB-scaled mel -> ortho DCT-II
+        mf = jnp.dot(
+            amplitude_to_db(mel, 80.0),
+            dct_matrix(cfg.n_mfcc, cfg.n_mels),
+            preferred_element_type=jnp.float32,
         )  # [Tm, 40]
-        lm = log_mel_spectrogram(
-            waveform,
-            cfg.sample_rate,
-            n_mels=cfg.n_mels,
-            eps=cfg.eps,
-            log_base2=cfg.log_base2,
-            n_fft=cfg.n_fft,
-            hop_length=cfg.hop_length,
-            win_length=cfg.win_length,
-        )  # [Tm, 128]
         patches = vggish_log_mel_patches(waveform)  # [P, 96, 64]
         vg = self.vggish.apply({"params": vggish_params}, patches)  # [P, 128]
 
