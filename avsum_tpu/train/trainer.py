@@ -50,6 +50,10 @@ class Trainer:
                 auto_data=config.mesh.auto_data,
             )
         )
+        if config.train.debug_nans:
+            import jax as _jax
+
+            _jax.config.update("jax_debug_nans", True)
         self.train_step = make_train_step(model, self.mesh, seed=config.train.seed)
         self.eval_step = make_eval_step(model, self.mesh)
         self.state = None
