@@ -167,8 +167,55 @@ def cmd_evaluate(args) -> int:
     metrics = trainer.evaluate_videos(
         batch_iterator(examples, cfg.data.batch_videos, cfg.data.max_shots, False)
     )
+    if args.canonical:
+        metrics.update(_canonical_eval(cfg, trainer, examples))
     print(json.dumps(metrics))
     return 0
+
+
+def _canonical_eval(cfg: Config, trainer, examples) -> dict:
+    """Canonical per-annotator knapsack F1 (summary/protocol.py)."""
+    import numpy as np
+
+    from avsum_tpu.data.batching import pad_batch
+    from avsum_tpu.summary.protocol import evaluate_canonical
+    from avsum_tpu.train.steps import shard_batch_dict
+
+    if cfg.data.dataset == "tvsum":
+        from avsum_tpu.data.tvsum import load_tvsum, tvsum_index
+
+        anno = tvsum_index(load_tvsum(cfg.data.annotation_path))
+        user_key = "user_frame_scores"
+        get_users = lambda v: anno[v].user_scores  # noqa: E731
+    elif cfg.data.dataset == "summe":
+        from avsum_tpu.data.summe import load_summe_dir
+
+        anno = {v.video_id: v for v in load_summe_dir(cfg.data.annotation_path)}
+        user_key = "user_masks"
+        get_users = lambda v: anno[v].user_score  # noqa: E731
+    else:
+        return {}
+
+    videos = []
+    for ex in examples:
+        if ex.video_id not in anno:
+            continue
+        batch = pad_batch([ex], cfg.data.max_shots)
+        out = trainer.eval_step(
+            trainer.state.params, shard_batch_dict(batch, trainer.mesh)
+        )
+        preds = np.asarray(out["preds"])[0, : ex.n_shots]
+        videos.append(
+            {
+                "pred_shot_scores": preds,
+                "boundaries": ex.shot_boundaries,
+                "n_frames": ex.n_frames,
+                user_key: get_users(ex.video_id),
+            }
+        )
+    return evaluate_canonical(
+        videos, cfg.data.dataset, cfg.summary.budget_fraction
+    )
 
 
 def cmd_summarize(args) -> int:
@@ -247,6 +294,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     _add_common(p)
     p.add_argument("--splits", default=None)
     p.add_argument("--fold", type=int, default=0)
+    p.add_argument(
+        "--canonical",
+        action="store_true",
+        help="also compute the canonical per-annotator knapsack F1",
+    )
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("summarize", help="summarize one video end-to-end")
