@@ -144,10 +144,30 @@ class AudioFrontend:
         boundaries_samples,
         mask=None,
     ) -> jnp.ndarray:
-        """[T] waveform + [S, 2] (start, end) sample boundaries -> [S, 296]."""
-        return self._shot_features(
-            self.vggish_params, waveform, boundaries_samples, mask
-        )
+        """[T] waveform + [S, 2] (start, end) sample boundaries -> [S, 296].
+
+        Shapes are bucketed before the jit call (waveform to power-of-two
+        sample counts, shots to multiples of 16): a dataset sweep compiles
+        O(log T) programs instead of one per video. Zero-padding is
+        harmless — segment means only gather in-range cumsum rows.
+        """
+        import numpy as np
+
+        wave = np.asarray(waveform, np.float32).reshape(-1)
+        t = max(len(wave), self.config.sample_rate)
+        t_bucket = 1 << (t - 1).bit_length()
+        wave = np.pad(wave, (0, t_bucket - len(wave)))
+
+        bounds = np.asarray(boundaries_samples, np.float32).reshape(-1, 2)
+        s = len(bounds)
+        s_bucket = max(16, -(-s // 16) * 16)
+        bounds_p = np.zeros((s_bucket, 2), np.float32)
+        bounds_p[:s] = bounds
+        mask_p = np.zeros(s_bucket, np.float32)
+        mask_p[:s] = 1.0 if mask is None else np.asarray(mask, np.float32).reshape(-1)
+
+        out = self._shot_features(self.vggish_params, wave, bounds_p, mask_p)
+        return out[:s]
 
 
 @functools.lru_cache(maxsize=1)
