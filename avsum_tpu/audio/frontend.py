@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from avsum_tpu.audio.vggish import (
     VGGISH_FRAMES,
@@ -80,19 +81,13 @@ class AudioFrontend:
         # pin on device once (re-shipping fc1's 50M params per call would
         # dominate the whole pipeline on a slow host link)
         self.vggish_params = jax.device_put(vggish_params)
-        self._shot_features = jax.jit(self._shot_features_impl)
+        self._full = jax.jit(self._full_features_impl)
+        self._pool = jax.jit(self._pool_impl)
 
-    def _shot_features_impl(
-        self,
-        vggish_params,
-        waveform: jnp.ndarray,
-        boundaries: jnp.ndarray,
-        mask: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
+    def _full_features_impl(self, vggish_params, waveform: jnp.ndarray):
+        """Whole-waveform streams (no boundaries needed -> dispatchable
+        before/while shot detection runs on the host)."""
         cfg = self.config
-        # one STFT->mel pass feeds BOTH the MFCC and log-mel streams (the
-        # reference recomputed the spectrogram per transform); optionally
-        # the fully fused Pallas kernel (ops/pallas_melspec.py)
         if self.use_pallas and cfg.n_fft == 2 * cfg.hop_length:
             from avsum_tpu.ops.pallas_melspec import fused_log_mel
 
@@ -116,27 +111,47 @@ class AudioFrontend:
             lm = jnp.log(mel + cfg.eps)
             if cfg.log_base2:
                 lm = lm / jnp.log(2.0)
-        # torchaudio-MFCC semantics: dB-scaled mel -> ortho DCT-II
         mf = jnp.dot(
             amplitude_to_db(mel, 80.0),
             dct_matrix(cfg.n_mfcc, cfg.n_mels),
             preferred_element_type=jnp.float32,
-        )  # [Tm, 40]
-        patches = vggish_log_mel_patches(waveform)  # [P, 96, 64]
-        vg = self.vggish.apply({"params": vggish_params}, patches)  # [P, 128]
+        )
+        patches = vggish_log_mel_patches(waveform)
+        vg = self.vggish.apply({"params": vggish_params}, patches)
+        return mf, lm, vg
 
+    def _pool_impl(self, mf, lm, vg, boundaries, mask=None):
+        cfg = self.config
         bounds = jnp.asarray(boundaries, jnp.float32).reshape(-1, 2)
-        # sample index -> per-stream frame/patch index
         mf_s = bounds / cfg.hop_length
         vg_s = bounds / (VGGISH_HOP * VGGISH_FRAMES)
         mfcc_pooled = _segment_means(mf, mf_s[:, 0], jnp.ceil(mf_s[:, 1]))
         mel_pooled = _segment_means(lm, mf_s[:, 0], jnp.ceil(mf_s[:, 1]))
         vg_pooled = _segment_means(vg, vg_s[:, 0], jnp.ceil(vg_s[:, 1]))
-
         out = jnp.concatenate([mfcc_pooled, mel_pooled, vg_pooled], axis=-1)
         if mask is not None:
             out = out * jnp.asarray(mask, jnp.float32)[:, None]
         return out
+
+    def dispatch_full(self, waveform):
+        """Async whole-waveform feature dispatch (bucketed shapes)."""
+        wave = np.asarray(waveform, np.float32).reshape(-1)
+        t = max(len(wave), self.config.sample_rate)
+        t_bucket = 1 << (t - 1).bit_length()
+        wave = np.pad(wave, (0, t_bucket - len(wave)))
+        return self._full(self.vggish_params, wave)
+
+    def pool(self, full, boundaries_samples, mask=None) -> jnp.ndarray:
+        """Segment-pool previously dispatched full features -> [S, 296]."""
+        mf, lm, vg = full
+        bounds = np.asarray(boundaries_samples, np.float32).reshape(-1, 2)
+        s = len(bounds)
+        s_bucket = max(16, -(-s // 16) * 16)
+        bounds_p = np.zeros((s_bucket, 2), np.float32)
+        bounds_p[:s] = bounds
+        mask_p = np.zeros(s_bucket, np.float32)
+        mask_p[:s] = 1.0 if mask is None else np.asarray(mask, np.float32).reshape(-1)
+        return self._pool(mf, lm, vg, bounds_p, mask_p)[:s]
 
     def shot_features(
         self,
@@ -146,28 +161,12 @@ class AudioFrontend:
     ) -> jnp.ndarray:
         """[T] waveform + [S, 2] (start, end) sample boundaries -> [S, 296].
 
-        Shapes are bucketed before the jit call (waveform to power-of-two
+        Shapes are bucketed before the jit calls (waveform to power-of-two
         sample counts, shots to multiples of 16): a dataset sweep compiles
         O(log T) programs instead of one per video. Zero-padding is
         harmless — segment means only gather in-range cumsum rows.
         """
-        import numpy as np
-
-        wave = np.asarray(waveform, np.float32).reshape(-1)
-        t = max(len(wave), self.config.sample_rate)
-        t_bucket = 1 << (t - 1).bit_length()
-        wave = np.pad(wave, (0, t_bucket - len(wave)))
-
-        bounds = np.asarray(boundaries_samples, np.float32).reshape(-1, 2)
-        s = len(bounds)
-        s_bucket = max(16, -(-s // 16) * 16)
-        bounds_p = np.zeros((s_bucket, 2), np.float32)
-        bounds_p[:s] = bounds
-        mask_p = np.zeros(s_bucket, np.float32)
-        mask_p[:s] = 1.0 if mask is None else np.asarray(mask, np.float32).reshape(-1)
-
-        out = self._shot_features(self.vggish_params, wave, bounds_p, mask_p)
-        return out[:s]
+        return self.pool(self.dispatch_full(waveform), boundaries_samples, mask)
 
 
 @functools.lru_cache(maxsize=1)

@@ -120,6 +120,12 @@ class AVPipeline:
         reader = open_video(video_path)
         try:
             fps, n_frames = reader.fps, reader.n_frames
+            if (
+                self.config.visual.sample_fps > 0
+                and hasattr(reader, "content_scores")
+                and hasattr(reader, "read_yuv420")
+            ):
+                return self._process_video_overlapped(reader, video_id)
             with annotate("avsum.shot_detect"):
                 scale = self._detect_downscale(reader.width)
                 if hasattr(reader, "content_scores"):
@@ -177,6 +183,67 @@ class AVPipeline:
                 )
         finally:
             reader.close()
+
+        return ProcessedVideo(
+            video_id=video_id,
+            visual=visual.astype(np.float32),
+            audio=audio.astype(np.float32),
+            boundaries=np.asarray(boundaries, np.int64),
+            fps=fps,
+            n_frames=n_frames,
+        )
+
+    def _process_video_overlapped(self, reader, video_id: str) -> ProcessedVideo:
+        """Fast path: uniform sample_fps sampling makes the frame set
+        independent of shot boundaries, so the device embeds frames WHILE
+        the host C++ computes detection scores. Shot assignment + pooling
+        happen after both finish (overlap hides whichever side is shorter).
+        """
+        from avsum_tpu.temporal.shots import boundaries_from_cuts, cuts_from_scores
+
+        fps, n_frames = reader.fps, reader.n_frames
+        stride = max(1, round(fps / self.config.visual.sample_fps))
+        frame_idx = np.arange(0, n_frames, stride, dtype=np.int64)
+
+        with annotate("avsum.visual_dispatch"):
+            yuv = reader.read_yuv420(frame_idx)
+            pending, nf = self.visual.dispatch_yuv(*yuv)  # async on device
+
+        with annotate("avsum.audio_dispatch"):
+            # whole-waveform audio features don't need boundaries either —
+            # enqueue them behind the visual batches before host detection
+            waveform = self._load_audio(reader.path, n_frames / fps)
+            audio_full = self.audio.dispatch_full(waveform)
+
+        with annotate("avsum.shot_detect_host"):
+            scale = self._detect_downscale(reader.width)
+            scores = reader.content_scores(scale=scale)  # host C++, overlaps
+            cuts = cuts_from_scores(
+                scores, self.detector.threshold, self.detector.min_scene_len
+            )
+            boundaries = boundaries_from_cuts(cuts, n_frames)
+            if len(boundaries) == 0:
+                boundaries = np.array([[0, n_frames]], np.int64)
+
+        with annotate("avsum.visual_pool"):
+            feats = self.visual.collect(pending, nf)
+            starts = boundaries[:, 0]
+            shot_ids = np.searchsorted(starts, frame_idx, side="right") - 1
+            # per-shot cap (reference caps frames per shot, extractors.py:400)
+            cap = self.config.visual.max_frames_per_shot
+            first_of_shot = np.searchsorted(shot_ids, np.arange(len(boundaries)))
+            rank = np.arange(len(frame_idx)) - first_of_shot[shot_ids]
+            keep = rank < cap
+            sums = np.zeros((len(boundaries), feats.shape[1]), np.float32)
+            counts = np.zeros(len(boundaries), np.float32)
+            np.add.at(sums, shot_ids[keep], feats[keep])
+            np.add.at(counts, shot_ids[keep], 1.0)
+            visual = sums / np.maximum(counts, 1.0)[:, None]
+
+        with annotate("avsum.audio_pool"):
+            sr = self.config.audio.sample_rate
+            sample_bounds = boundaries.astype(np.float64) / fps * sr
+            audio = np.asarray(self.audio.pool(audio_full, sample_bounds))
 
         return ProcessedVideo(
             video_id=video_id,

@@ -165,8 +165,10 @@ class VisualFrontend:
         stacked = jax.device_get(pending)
         return np.concatenate(stacked, axis=0)[:f]
 
-    def frame_features_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-        """YUV420-plane variant of frame_features (half the shipped bytes)."""
+    def dispatch_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Enqueue YUV embedding batches asynchronously; returns pending
+        device arrays. Host work (e.g. C++ shot detection) can proceed
+        while the device computes; collect with :meth:`collect`."""
         f = y.shape[0]
         pending = []
         for i in range(0, f, self.batch_size):
@@ -183,9 +185,17 @@ class VisualFrontend:
                     self.variables, jnp.asarray(yc), jnp.asarray(uc), jnp.asarray(vc)
                 )
             )
+        return pending, f
+
+    def collect(self, pending, n_frames: int) -> np.ndarray:
         if not pending:
             return np.zeros((0, self.config.feature_dim), np.float32)
-        return np.concatenate(jax.device_get(pending), axis=0)[:f]
+        return np.concatenate(jax.device_get(pending), axis=0)[:n_frames]
+
+    def frame_features_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        """YUV420-plane variant of frame_features (half the shipped bytes)."""
+        pending, f = self.dispatch_yuv(y, u, v)
+        return self.collect(pending, f)
 
     def shot_features(
         self,

@@ -89,7 +89,7 @@ def main():
 
     # measured pass
     runs = []
-    for i in range(2):
+    for i in range(4):
         t0 = time.perf_counter()
         result = pipeline.summarize(video, model, params)
         dt = time.perf_counter() - t0

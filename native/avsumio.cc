@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cmath>
 #include <deque>
 #include <mutex>
 #include <string>
@@ -160,22 +161,19 @@ void prefetch_main(Y4M* r) {
 // must match avsum_tpu/ops/color.py::rgb_to_hsv_channels.
 inline void rgb_to_hsv(float r, float g, float b, float* h, float* s,
                        float* v) {
+  // Branchless (ternaries lower to vector selects under -O3): matches
+  // avsum_tpu/ops/color.py::rgb_to_hsv_channels bit-for-bit semantics.
   float mx = r > g ? (r > b ? r : b) : (g > b ? g : b);
   float mn = r < g ? (r < b ? r : b) : (g < b ? g : b);
   float delta = mx - mn;
   *v = mx;
   *s = mx > 0.f ? 255.f * delta / mx : 0.f;
-  float hh = 0.f;
-  if (delta > 0.f) {
-    if (mx == r)
-      hh = 60.f * (g - b) / delta;
-    else if (mx == g)
-      hh = 120.f + 60.f * (b - r) / delta;
-    else
-      hh = 240.f + 60.f * (r - g) / delta;
-    if (hh < 0.f) hh += 360.f;
-  }
-  *h = hh * 0.5f;
+  float inv = delta > 0.f ? 60.f / delta : 0.f;
+  float hh = mx == r ? (g - b) * inv
+                     : (mx == g ? 120.f + (b - r) * inv
+                                : 240.f + (r - g) * inv);
+  hh = hh < 0.f ? hh + 360.f : hh;
+  *h = delta > 0.f ? hh * 0.5f : 0.f;
 }
 
 // Host-side ContentDetector scores: decode (scaled), HSV, mean |diff| per
@@ -196,19 +194,26 @@ int content_scores_impl(Y4M* r, long start, long stop, int scale,
       decode_frame(r, t, rgb.data());
     else
       decode_frame_scaled(r, t, scale, rgb.data());
-    double dh = 0, ds = 0, dv = 0;
+    // convert (branchless, vectorizable) ...
     for (size_t i = 0; i < npix; ++i) {
-      float h, s, v;
-      rgb_to_hsv(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2], &h, &s, &v);
-      cur_h[i] = h; cur_s[i] = s; cur_v[i] = v;
-      if (t > start) {
-        dh += h > prev_h[i] ? h - prev_h[i] : prev_h[i] - h;
-        ds += s > prev_s[i] ? s - prev_s[i] : prev_s[i] - s;
-        dv += v > prev_v[i] ? v - prev_v[i] : prev_v[i] - v;
+      rgb_to_hsv(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2],
+                 &cur_h[i], &cur_s[i], &cur_v[i]);
+    }
+    // ... then diff in a separate tight pass (float partials, summed into
+    // doubles per 4K chunk to keep accumulation error bounded)
+    double total = 0.0;
+    if (t > start) {
+      for (size_t base = 0; base < npix; base += 4096) {
+        size_t end = base + 4096 < npix ? base + 4096 : npix;
+        float part = 0.f;
+        for (size_t i = base; i < end; ++i) {
+          part += fabsf(cur_h[i] - prev_h[i]) + fabsf(cur_s[i] - prev_s[i]) +
+                  fabsf(cur_v[i] - prev_v[i]);
+        }
+        total += part;
       }
     }
-    out[t - start] =
-        t == start ? 0.f : (float)((dh + ds + dv) / (3.0 * (double)npix));
+    out[t - start] = t == start ? 0.f : (float)(total / (3.0 * (double)npix));
     cur_h.swap(prev_h); cur_s.swap(prev_s); cur_v.swap(prev_v);
   }
   return 0;
