@@ -246,14 +246,39 @@ def cmd_summarize(args) -> int:
             log.error("no checkpoint in %s", args.checkpoint)
             return 1
         params = state.params
-    result = pipeline.summarize(args.video, model, params)
-    out = {
-        "video_id": result["video_id"],
-        "n_frames": int(result["n_frames"]),
-        "fps": float(result["fps"]),
-        "segments": [[int(a), int(b)] for a, b in result["segments"]],
-        "shot_scores": [float(s) for s in result["scores"]],
-    }
+    import os
+
+    def run_one(path):
+        result = pipeline.summarize(path, model, params)
+        return {
+            "video_id": result["video_id"],
+            "n_frames": int(result["n_frames"]),
+            "fps": float(result["fps"]),
+            "segments": [[int(a), int(b)] for a, b in result["segments"]],
+            "shot_scores": [float(s) for s in result["scores"]],
+        }
+
+    if os.path.isdir(args.video):
+        # batch/serving mode: one summary json per video in the directory
+        out_dir = args.output or "summaries"
+        os.makedirs(out_dir, exist_ok=True)
+        n_ok = 0
+        for name in sorted(os.listdir(args.video)):
+            if not name.lower().endswith((".y4m", ".mp4")):
+                continue
+            try:
+                out = run_one(os.path.join(args.video, name))
+                with open(
+                    os.path.join(out_dir, out["video_id"] + ".json"), "w"
+                ) as fh:
+                    json.dump(out, fh, indent=1)
+                n_ok += 1
+            except Exception as e:  # noqa: BLE001 — per-item isolation
+                log.error("failed %s: %s", name, e)
+        log.info("summarized %d videos -> %s", n_ok, out_dir)
+        return 0 if n_ok else 1
+
+    out = run_one(args.video)
     if args.output:
         with open(args.output, "w") as fh:
             json.dump(out, fh, indent=1)
@@ -301,9 +326,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     p.set_defaults(fn=cmd_evaluate)
 
-    p = sub.add_parser("summarize", help="summarize one video end-to-end")
+    p = sub.add_parser(
+        "summarize", help="summarize a video (or a directory of videos)"
+    )
     _add_common(p)
-    p.add_argument("video")
+    p.add_argument("video", help="video file or directory (batch mode)")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--output", default=None)
     p.set_defaults(fn=cmd_summarize)

@@ -30,6 +30,40 @@ def attention_bias(mask: Optional[jnp.ndarray], dtype=jnp.float32):
     return bias[:, None, None, :]
 
 
+class MultiHeadCrossAttention(nn.Module):
+    """Queries from ``x``, keys/values from ``y`` (co-attention between
+    modality streams — the true "cross-modal attention fusion" of
+    BASELINE config 4; the reference's nn.MultiheadAttention was pure
+    self-attention over the concatenated features, av_model.py:44)."""
+
+    embed_dim: int
+    num_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, y, mask: Optional[jnp.ndarray] = None):
+        b, s, e = x.shape
+        h = self.num_heads
+        d = e // h
+        q = nn.DenseGeneral((h, d), axis=-1, dtype=self.dtype, name="q")(x)
+        kv = nn.DenseGeneral((2, h, d), axis=-1, dtype=self.dtype, name="kv")(y)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (d ** -0.5)
+        bias = attention_bias(mask)
+        if bias is not None:
+            logits = logits + bias
+        probs = nn.softmax(logits, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        out = nn.DenseGeneral(e, axis=(-2, -1), dtype=self.dtype, name="out")(ctx)
+        if mask is not None:
+            out = out * mask.astype(out.dtype)[..., None]
+        return out
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Bidirectional MHSA over the shot/frame sequence axis.
 

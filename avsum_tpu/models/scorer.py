@@ -21,7 +21,10 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from avsum_tpu.models.attention import MultiHeadSelfAttention
+from avsum_tpu.models.attention import (
+    MultiHeadCrossAttention,
+    MultiHeadSelfAttention,
+)
 from avsum_tpu.models.temporal import (
     AttentionEncoder,
     BiLSTM,
@@ -99,14 +102,24 @@ class AVScorer(nn.Module):
         v = self._temporal("visual_temporal")(v, mask, **kwargs)
         a = self._temporal("audio_temporal")(a, mask, **kwargs)
 
-        fused = jnp.concatenate([v, a], axis=-1)  # [B,S,2H]
-        fused = fused + MultiHeadSelfAttention(
-            2 * cfg.hidden_dim,
-            cfg.num_heads,
-            dtype=dtype,
-            chunk_size=cfg.chunk_size,
-            name="cross_attention",
-        )(fused, mask)
+        if cfg.fusion == "cross":
+            # co-attention: each modality queries the other, residual added
+            v = v + MultiHeadCrossAttention(
+                cfg.hidden_dim, cfg.num_heads, dtype=dtype, name="v_attends_a"
+            )(v, a, mask)
+            a = a + MultiHeadCrossAttention(
+                cfg.hidden_dim, cfg.num_heads, dtype=dtype, name="a_attends_v"
+            )(a, v, mask)
+            fused = jnp.concatenate([v, a], axis=-1)  # [B,S,2H]
+        else:
+            fused = jnp.concatenate([v, a], axis=-1)  # [B,S,2H]
+            fused = fused + MultiHeadSelfAttention(
+                2 * cfg.hidden_dim,
+                cfg.num_heads,
+                dtype=dtype,
+                chunk_size=cfg.chunk_size,
+                name="cross_attention",
+            )(fused, mask)
 
         x = nn.Dense(cfg.scorer_hidden, dtype=dtype, name="scorer_hidden")(fused)
         x = nn.relu(x)

@@ -73,6 +73,7 @@ class ModelConfig:
     dropout: float = 0.3
     temporal_encoder: str = "attention"  # attention | bilstm | tcn
     temporal_layers: int = 2
+    fusion: str = "self"  # self (MHSA over concat) | cross (co-attention)
     chunk_size: int = 0  # 0 = full attention; >0 = blockwise/chunked
     dtype: str = "float32"
 

@@ -1,0 +1,74 @@
+"""Cross-modal fusion variant + CLI batch summarize."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from avsum_tpu.models import make_model
+from avsum_tpu.train.config import ModelConfig
+
+
+@pytest.mark.parametrize("fusion", ["self", "cross"])
+def test_fusion_variants_forward(fusion):
+    cfg = ModelConfig(
+        visual_dim=32, audio_dim=16, hidden_dim=32, scorer_hidden=8,
+        temporal_encoder="tcn", fusion=fusion,
+    )
+    model = make_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    visual = jax.random.normal(rng, (2, 12, 32))
+    audio = jax.random.normal(jax.random.fold_in(rng, 1), (2, 12, 16))
+    mask = np.ones((2, 12), np.float32)
+    mask[1, 8:] = 0.0
+    params = model.init(rng, visual, audio, mask)["params"]
+    out = model.apply({"params": params}, visual, audio, mask)
+    assert out.shape == (2, 12)
+    assert np.all(np.asarray(out)[1, 8:] == 0.0)
+    if fusion == "cross":
+        assert "v_attends_a" in params and "a_attends_v" in params
+
+
+def test_cross_fusion_padding_invariance():
+    cfg = ModelConfig(
+        visual_dim=16, audio_dim=8, hidden_dim=16, scorer_hidden=4,
+        temporal_encoder="tcn", fusion="cross",
+    )
+    model = make_model(cfg)
+    rng = jax.random.PRNGKey(1)
+    visual = jax.random.normal(rng, (1, 6, 16))
+    audio = jax.random.normal(jax.random.fold_in(rng, 1), (1, 6, 8))
+    m6 = np.ones((1, 6), np.float32)
+    params = model.init(rng, visual, audio, m6)["params"]
+    ref = model.apply({"params": params}, visual, audio, m6)
+    vp = np.pad(np.asarray(visual), ((0, 0), (0, 3), (0, 0)), constant_values=5.0)
+    ap = np.pad(np.asarray(audio), ((0, 0), (0, 3), (0, 0)), constant_values=-2.0)
+    mp = np.pad(m6, ((0, 0), (0, 3)))
+    out = model.apply({"params": params}, vp, ap, mp)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :6], np.asarray(ref), atol=2e-5
+    )
+
+
+def test_cli_batch_summarize(tmp_path):
+    from avsum_tpu.cli.main import main
+    from avsum_tpu.io.synthetic import write_scene_video
+
+    vdir = tmp_path / "vids"
+    vdir.mkdir()
+    for i in range(2):
+        write_scene_video(str(vdir / f"b{i}"), n_scenes=2, seed=80 + i,
+                          height=32, width=32)
+    (vdir / "junk.txt").write_text("ignore me")
+    out_dir = str(tmp_path / "sums")
+    rc = main([
+        "summarize", str(vdir), "--output", out_dir,
+        "--set", "visual.backbone=tiny",
+    ])
+    assert rc == 0
+    files = sorted(os.listdir(out_dir))
+    assert files == ["b0.json", "b1.json"]
+    data = json.load(open(os.path.join(out_dir, "b0.json")))
+    assert data["segments"] and data["n_frames"] > 0
