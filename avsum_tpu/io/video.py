@@ -54,8 +54,20 @@ class _ImageioReader:
         else:
             self.n_frames, self.height, self.width = 1, shape[0], shape[1]
 
+    @staticmethod
+    def _coerce_rgb(frame: np.ndarray) -> np.ndarray:
+        """Force 3-channel RGB (grayscale/RGBA inputs happen in the wild —
+        the reference coerced these too, extractors.py:407-411)."""
+        if frame.ndim == 2:
+            return np.repeat(frame[..., None], 3, axis=-1)
+        if frame.shape[-1] == 1:
+            return np.repeat(frame, 3, axis=-1)
+        if frame.shape[-1] == 4:
+            return frame[..., :3]
+        return frame
+
     def read_frame(self, index: int) -> np.ndarray:
-        return self._iio.imread(self.path, index=index)
+        return self._coerce_rgb(self._iio.imread(self.path, index=index))
 
     def read_frames(self, indices) -> np.ndarray:
         return np.stack([self.read_frame(int(i)) for i in indices])
@@ -66,7 +78,7 @@ class _ImageioReader:
                 continue
             if stop is not None and i >= stop:
                 return
-            yield frame
+            yield self._coerce_rgb(frame)
 
     def close(self):
         pass

@@ -18,6 +18,18 @@ def flash_attention(q, k, v, mask=None):
     return _fa(q, k, v, mask=mask)
 
 
+def fused_log_mel(waveform, **kwargs):
+    from avsum_tpu.ops.pallas_melspec import fused_log_mel as _fm
+
+    return _fm(waveform, **kwargs)
+
+
+def chunked_attention(q, k, v, mask=None, chunk_size=512):
+    from avsum_tpu.ops.chunked import chunked_attention as _ca
+
+    return _ca(q, k, v, mask=mask, chunk_size=chunk_size)
+
+
 __all__ = [
     "frame_signal",
     "hann_window",
@@ -28,4 +40,6 @@ __all__ = [
     "dct_matrix",
     "mfcc",
     "flash_attention",
+    "fused_log_mel",
+    "chunked_attention",
 ]
