@@ -204,11 +204,14 @@ def _canonical_eval(cfg: Config, trainer, examples) -> dict:
         out = trainer.eval_step(
             trainer.state.params, shard_batch_dict(batch, trainer.mesh)
         )
-        preds = np.asarray(out["preds"])[0, : ex.n_shots]
+        # videos longer than the shot bucket are truncated consistently
+        # (preds AND boundaries), matching pad_batch's truncation
+        s = min(ex.n_shots, cfg.data.max_shots)
+        preds = np.asarray(out["preds"])[0, :s]
         videos.append(
             {
                 "pred_shot_scores": preds,
-                "boundaries": ex.shot_boundaries,
+                "boundaries": ex.shot_boundaries[:s],
                 "n_frames": ex.n_frames,
                 user_key: get_users(ex.video_id),
             }

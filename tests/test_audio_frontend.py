@@ -7,6 +7,13 @@ from avsum_tpu.audio import AudioFrontend, VGGish, vggish_log_mel_patches
 from avsum_tpu.audio.frontend import _segment_means
 
 
+@pytest.fixture(scope="module")
+def frontend():
+    # one frontend for the module: VGGish init + jit compiles are the
+    # dominant cost of these tests on a single host core
+    return AudioFrontend()
+
+
 def test_vggish_patches_shape():
     wav = np.random.default_rng(0).standard_normal(16000 * 3).astype(np.float32)
     patches = np.asarray(vggish_log_mel_patches(wav))
@@ -41,12 +48,12 @@ def test_segment_means_matches_manual():
         np.testing.assert_allclose(out[i], feats[s:e].mean(0), atol=1e-4)
 
 
-def test_shot_features_contract_296():
+def test_shot_features_contract_296(frontend):
     rng = np.random.default_rng(3)
     sr = 16000
     wav = (0.1 * rng.standard_normal(sr * 4)).astype(np.float32)
     bounds = np.array([[0, sr], [sr, 2 * sr], [2 * sr, 4 * sr]], np.float32)
-    fe = AudioFrontend()
+    fe = frontend
     out = np.asarray(fe.shot_features(wav, bounds))
     assert out.shape == (3, 296)
     assert np.isfinite(out).all()
@@ -54,24 +61,24 @@ def test_shot_features_contract_296():
     assert not np.allclose(out[0], out[2])
 
 
-def test_shot_features_mask_zeroes_padded():
+def test_shot_features_mask_zeroes_padded(frontend):
     sr = 16000
     wav = np.random.default_rng(4).standard_normal(sr).astype(np.float32) * 0.1
     bounds = np.array([[0, sr], [0, 0]], np.float32)
     mask = np.array([1.0, 0.0])
-    fe = AudioFrontend()
+    fe = frontend
     out = np.asarray(fe.shot_features(wav, bounds, mask))
     assert np.all(out[1] == 0.0)
     assert not np.all(out[0] == 0.0)
 
 
-def test_shot_features_empty_waveform_finite():
+def test_shot_features_empty_waveform_finite(frontend):
     """Degenerate audio (silence, minimal length) must stay finite —
     replaces the reference's zeros-fallback paths (extractors.py:197-211)."""
     sr = 16000
     wav = np.zeros(1600, np.float32)
     bounds = np.array([[0, 1600]], np.float32)
-    fe = AudioFrontend()
+    fe = frontend
     out = np.asarray(fe.shot_features(wav, bounds))
     assert out.shape == (1, 296)
     assert np.isfinite(out).all()

@@ -24,7 +24,7 @@ def tvsum_world(tmp_path_factory):
     video_dir.mkdir()
     ids, scores = [], []
     rng = np.random.default_rng(0)
-    for i in range(6):
+    for i in range(4):
         vid = f"tv{i:02d}"
         scenes = write_scene_video(
             str(video_dir / vid), n_scenes=4, seed=100 + i, height=48, width=64
@@ -48,7 +48,7 @@ SETS = [
     "--set", "data.dataset=tvsum",
     "--set", "data.batch_videos=2",
     "--set", "data.max_shots=8",
-    "--set", "train.epochs=3",
+    "--set", "train.epochs=2",
     "--set", "train.eval_every_epochs=10",
 ]
 

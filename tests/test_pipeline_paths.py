@@ -13,6 +13,11 @@ from avsum_tpu.train.config import load_config
 
 
 @pytest.fixture(scope="module")
+def shared_pipeline(cfg):
+    return AVPipeline(cfg)
+
+
+@pytest.fixture(scope="module")
 def cfg():
     return load_config(
         overrides=[
@@ -25,10 +30,10 @@ def cfg():
 
 
 @pytest.mark.skipif(not native_available(), reason="libavsumio.so not built")
-def test_fast_and_classic_paths_agree(cfg, tmp_path, monkeypatch):
+def test_fast_and_classic_paths_agree(cfg, shared_pipeline, tmp_path, monkeypatch):
     stem = str(tmp_path / "clip")
     write_scene_video(stem, n_scenes=3, seed=70, height=48, width=64)
-    pipeline = AVPipeline(cfg)
+    pipeline = shared_pipeline
 
     fast = pipeline.process_video(stem + ".y4m")
     # force the classic path by opening with the pure-Python reader
@@ -74,13 +79,13 @@ def test_long_video_chunked_scorer(cfg, tmp_path):
 
 
 @pytest.mark.skipif(not native_available(), reason="libavsumio.so not built")
-def test_summarize_longish_video_budget(cfg, tmp_path):
+def test_summarize_longish_video_budget(cfg, shared_pipeline, tmp_path):
     stem = str(tmp_path / "long")
     write_scene_video(
         stem, n_scenes=12, seed=71, height=48, width=64,
         scene_len_frames=(60, 120),
     )
-    result = AVPipeline(cfg).summarize(stem + ".y4m")
+    result = shared_pipeline.summarize(stem + ".y4m")
     n = result["n_frames"]
     assert n > 700
     frames = sum(b - a for a, b in result["segments"])

@@ -43,7 +43,7 @@ def test_loss_decreases_on_synthetic_data():
     step = make_train_step(model, mesh=None, seed=0)
 
     losses = []
-    for epoch in range(15):
+    for epoch in range(10):
         for b in batches():
             state, metrics = step(state, b)
             losses.append(float(metrics["loss"]))

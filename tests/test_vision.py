@@ -130,10 +130,10 @@ def test_asymmetric_conv_matches_torch():
 
 def test_inception_port_roundtrip_structure():
     """inception_v3_from_torch maps names 1:1 into the flax module tree."""
+    from avsum_tpu.vision.backbone import fast_init
+
     model = InceptionV3()
-    variables = model.init(
-        jax.random.PRNGKey(0), np.zeros((1, 75, 75, 3), np.float32)
-    )
+    variables = fast_init(model, np.zeros((1, 75, 75, 3), np.float32))
     # build a fake torch-style state_dict from the flax tree and port it back
     flat = {}
 
@@ -188,8 +188,10 @@ def test_sample_shot_frames_stride_and_cap():
 
 
 def test_dual_backbone_contract_dim():
+    from avsum_tpu.vision.backbone import fast_init
+
     model = DualBackbone()
     x = np.random.default_rng(1).standard_normal((1, 64, 64, 3)).astype(np.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = fast_init(model, x)
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 4096)
