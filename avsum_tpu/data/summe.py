@@ -33,7 +33,7 @@ def load_summe_mat(mat_path: str) -> SumMeVideo:
     user = data.get("user_score")
     if user is not None:
         user = np.asarray(user, np.float32)
-    n_frames = int(data.get("nFrames", len(gt)))
+    n_frames = int(np.asarray(data.get("nFrames", len(gt))).squeeze())
     fps = float(np.asarray(data.get("FPS", 30.0)).squeeze())
     return SumMeVideo(
         video_id=os.path.splitext(os.path.basename(mat_path))[0],

@@ -28,6 +28,20 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def ensure_native():
+    """Build libavsumio.so if missing/stale (the committed binary may not
+    match this machine)."""
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+    so = os.path.join(native_dir, "libavsumio.so")
+    src = os.path.join(native_dir, "avsumio.cc")
+    # rebuild decision BEFORE any ctypes load caches a stale library
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        log("building native/libavsumio.so ...")
+        subprocess.run(["make", "-C", native_dir], check=False)
+
+
 def ensure_media():
     os.makedirs(BENCH_DIR, exist_ok=True)
     if os.path.exists(STEM + ".y4m") and os.path.exists(STEM + ".wav"):
@@ -49,6 +63,7 @@ def ensure_media():
 
 
 def main():
+    ensure_native()
     ensure_media()
 
     import jax
