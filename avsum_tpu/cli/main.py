@@ -108,12 +108,13 @@ def cmd_train(args) -> int:
         total_steps=steps_per_epoch * cfg.train.epochs,
     )
 
-    def batches():
+    def batches(epoch: int = 0):
+        # fold the epoch into the shuffle seed: fresh batch order per epoch
         return batch_iterator(
             examples,
             cfg.data.batch_videos,
             cfg.data.max_shots,
-            seed=cfg.train.seed,
+            seed=cfg.train.seed + epoch,
         )
 
     eval_fn = None
@@ -129,9 +130,10 @@ def cmd_train(args) -> int:
                 )
             )
     trainer.init_state(next(iter(batches())))
-    if args.resume:
-        trainer.maybe_restore()
-    trainer.fit(batches, eval_fn=eval_fn)
+    start_epoch = 0
+    if args.resume and trainer.maybe_restore() is not None:
+        start_epoch = int(trainer.last_meta.get("epoch", -1)) + 1
+    trainer.fit(batches, eval_fn=eval_fn, start_epoch=start_epoch)
     return 0
 
 

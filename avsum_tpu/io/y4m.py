@@ -110,8 +110,16 @@ class Y4MReader:
         ch, cw = self._chroma_div
         self._ysize = self.width * self.height
         self._csize = (self.height // ch) * (self.width // cw)
-        self._frame_bytes = len(b"FRAME\n") + self._ysize + 2 * self._csize
         self._data_start = self._fh.tell()
+        # Y4M frame markers may carry parameters ("FRAME <params>\n"); the
+        # fixed-stride seek below requires every frame header to have the
+        # SAME length, so measure it from the first frame and validate on
+        # each decode (mixed-length headers raise a clear error).
+        first_marker = self._fh.readline()
+        if not first_marker.startswith(b"FRAME"):
+            raise ValueError(f"{path}: missing FRAME marker")
+        self._marker_len = len(first_marker)
+        self._frame_bytes = self._marker_len + self._ysize + 2 * self._csize
         self._fh.seek(0, os.SEEK_END)
         total_bytes = self._fh.tell() - self._data_start
         self.n_frames = total_bytes // self._frame_bytes
@@ -119,8 +127,12 @@ class Y4MReader:
     def _decode_at(self, index: int) -> np.ndarray:
         self._fh.seek(self._data_start + index * self._frame_bytes)
         blob = self._fh.read(self._frame_bytes)
-        marker_end = blob.index(b"\n") + 1
-        raw = blob[marker_end:]
+        if not blob.startswith(b"FRAME") or blob[self._marker_len - 1] != 0x0A:
+            raise ValueError(
+                f"{self.path}: frame {index} header mismatch — Y4M files "
+                "with variable-length frame parameters are not supported"
+            )
+        raw = blob[self._marker_len :]
         y = np.frombuffer(raw[: self._ysize], np.uint8).reshape(
             self.height, self.width
         )
@@ -167,11 +179,3 @@ class Y4MReader:
         self.close()
 
 
-def _downsample_to_half(plane: np.ndarray) -> np.ndarray:
-    h2, w2 = (plane.shape[0] // 2) * 2, (plane.shape[1] // 2) * 2
-    return (
-        plane[:h2, :w2]
-        .reshape(h2 // 2, 2, w2 // 2, 2)
-        .mean(axis=(1, 3))
-        .astype(np.uint8)
-    )

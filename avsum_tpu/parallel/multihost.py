@@ -34,9 +34,11 @@ def initialize(
     program start; subsequent calls are ignored.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
+    # NOTE: do NOT touch jax.process_count()/jax.devices() before this
+    # call — they instantiate the local backend and make distributed init
+    # fail, silently degrading a pod to N single-host runs.
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -50,8 +52,14 @@ def initialize(
             jax.process_count(),
             len(jax.devices()),
         )
-    except Exception as e:  # single-host dev boxes land here
-        log.debug("multi-host init skipped (%s)", e)
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            _initialized = True
+            return
+        raise
+    except ValueError as e:  # single-host dev boxes: no coordinator env
+        _initialized = True
+        log.info("multi-host init skipped, running single-host (%s)", e)
 
 
 def is_primary() -> bool:

@@ -65,6 +65,7 @@ class AVPipeline:
         self.audio = audio_frontend or AudioFrontend(config.audio)
         self.detector = detector or ContentDetectorConfig()
         self._scorer_jit = None
+        self._scorer_model = None  # identity key for the cached jit
 
     # ------------------------------------------------------------------
     # decode helpers
@@ -229,6 +230,25 @@ class AVPipeline:
             feats = self.visual.collect(pending, nf)
             starts = boundaries[:, 0]
             shot_ids = np.searchsorted(starts, frame_idx, side="right") - 1
+            # shots shorter than the sampling stride may have caught no
+            # uniform sample; embed their start frames so every shot has
+            # at least one (matching the per-shot sampling of the classic
+            # path, extractors.py:399-400) — a tiny second dispatch
+            hit = np.zeros(len(boundaries), bool)
+            hit[np.unique(shot_ids)] = True
+            if not hit.all():
+                extra_idx = boundaries[~hit, 0]
+                extra_yuv = reader.read_yuv420(extra_idx)
+                extra = self.visual.frame_features_yuv(*extra_yuv)
+                feats = np.concatenate([feats, extra])
+                frame_idx = np.concatenate([frame_idx, extra_idx])
+                shot_ids = np.concatenate(
+                    [shot_ids, np.flatnonzero(~hit).astype(shot_ids.dtype)]
+                )
+                order = np.argsort(shot_ids, kind="stable")
+                feats, frame_idx, shot_ids = (
+                    feats[order], frame_idx[order], shot_ids[order]
+                )
             # per-shot cap (reference caps frames per shot, extractors.py:400)
             cap = self.config.visual.max_frames_per_shot
             first_of_shot = np.searchsorted(shot_ids, np.arange(len(boundaries)))
@@ -314,10 +334,11 @@ class AVPipeline:
         p = self.process_video(video_path)
         if model is not None and params is not None:
             params = jax.device_put(params)  # no-op if already resident
-            if self._scorer_jit is None:
+            if self._scorer_jit is None or self._scorer_model is not model:
                 self._scorer_jit = jax.jit(
                     lambda pr, v, a, m: model.apply({"params": pr}, v, a, m)
                 )
+                self._scorer_model = model
             # pad the shot axis to a small set of buckets so different
             # videos reuse the same compiled scorer program
             s = len(p.visual)

@@ -62,6 +62,7 @@ class Trainer:
             config.train.checkpoint_dir, keep=config.train.keep_checkpoints
         )
         self.logger = JsonlLogger(config.train.log_path)
+        self.last_meta: Dict = {}
 
     def init_state(self, sample_batch: Batch):
         self.state = create_train_state(
@@ -70,14 +71,21 @@ class Trainer:
         return self.state
 
     def maybe_restore(self) -> Optional[int]:
-        """Resume from the latest checkpoint if one exists."""
+        """Resume from the latest checkpoint if one exists. The restored
+        checkpoint's meta (incl. the epoch it was written at) lands in
+        ``self.last_meta`` so callers can continue at the right epoch."""
         if self.state is None:
             raise RuntimeError("call init_state(sample_batch) before restore")
         restored, meta = self.ckpt.restore(self.state)
         if restored is not None:
             self.state = restored
+            self.last_meta = meta or {}
             step = int(self.state.step)
-            log.info("restored checkpoint at step %d", step)
+            log.info(
+                "restored checkpoint at step %d (epoch %s)",
+                step,
+                self.last_meta.get("epoch"),
+            )
             return step
         return None
 
@@ -90,18 +98,31 @@ class Trainer:
     ):
         cfg = self.config.train
         epochs = cfg.epochs if epochs is None else epochs
+
+        import inspect
+
+        takes_epoch = len(inspect.signature(batches_fn).parameters) >= 1
+
+        def epoch_batches(epoch: int):
+            # per-epoch reshuffle: epoch-aware iterables get the epoch index
+            # (fold it into the shuffle seed); legacy zero-arg closures keep
+            # working but replay one fixed order
+            return batches_fn(epoch) if takes_epoch else batches_fn()
+
         if self.state is None:
-            first = next(iter(batches_fn()))
+            first = next(iter(epoch_batches(start_epoch)))
             self.init_state(first)
 
+        step = int(self.state.step)
         for epoch in range(start_epoch, epochs):
             t0 = time.perf_counter()
-            losses: List[float] = []
-            for batch in batches_fn():
+            losses: List = []  # device arrays; synced once per epoch
+            for batch in epoch_batches(epoch):
                 batch = shard_batch_dict(batch, self.mesh)
                 self.state, metrics = self.train_step(self.state, batch)
-                step = int(self.state.step)
+                step += 1
                 if step % cfg.log_every == 0:
+                    # the only per-step host sync, at log_every granularity
                     record = self.logger.log(
                         step, epoch=epoch, **jax.device_get(metrics)
                     )
@@ -112,11 +133,10 @@ class Trainer:
                         record["loss"],
                         record["grad_norm"],
                     )
-                losses.append(float(metrics["loss"]))
+                losses.append(metrics["loss"])
+            mean_loss = float(np.mean(jax.device_get(losses)))
             dt = time.perf_counter() - t0
-            log.info(
-                "epoch %d done: mean loss %.5f (%.2fs)", epoch, np.mean(losses), dt
-            )
+            log.info("epoch %d done: mean loss %.5f (%.2fs)", epoch, mean_loss, dt)
             if eval_fn is not None and (epoch + 1) % cfg.eval_every_epochs == 0:
                 scores = eval_fn()
                 self.logger.log(int(self.state.step), epoch=epoch, **scores)

@@ -297,7 +297,20 @@ void* avsumio_y4m_open(const char* path) {
   r->ysize = (size_t)r->width * r->height;
   r->csize = (size_t)(r->width / r->chroma_div_w) * (r->height / r->chroma_div_h);
   r->data_start = (size_t)(nl - r->map) + 1;
-  r->frame_bytes = 6 /*"FRAME\n"*/ + r->ysize + 2 * r->csize;
+  // frame markers may carry params ("FRAME <params>\n"); fixed-stride seek
+  // requires a constant header length — measure it from the first frame
+  // (matches avsum_tpu/io/y4m.py; mixed-length headers are unsupported)
+  const uint8_t* first = r->map + r->data_start;
+  const uint8_t* fnl = (const uint8_t*)memchr(
+      first, '\n', r->map_size - r->data_start);
+  if (!fnl || memcmp(first, "FRAME", 5) != 0) {
+    munmap((void*)r->map, r->map_size);
+    close(r->fd);
+    delete r;
+    return nullptr;
+  }
+  size_t marker_len = (size_t)(fnl - first) + 1;
+  r->frame_bytes = marker_len + r->ysize + 2 * r->csize;
   r->n_frames = (long)((r->map_size - r->data_start) / r->frame_bytes);
   return r;
 }

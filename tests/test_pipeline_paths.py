@@ -90,3 +90,20 @@ def test_summarize_longish_video_budget(cfg, shared_pipeline, tmp_path):
     assert n > 700
     frames = sum(b - a for a, b in result["segments"])
     assert 0 < frames <= int(0.15 * n) + 1
+
+
+@pytest.mark.skipif(not native_available(), reason="libavsumio.so not built")
+def test_fast_path_short_shots_get_features(cfg, shared_pipeline, tmp_path):
+    """Regression: shots shorter than the sampling stride must still get a
+    (non-zero) visual feature in the overlapped path — their start frame is
+    embedded in a follow-up dispatch."""
+    stem = str(tmp_path / "short")
+    # scenes as short as 16 frames vs stride 15 (30 fps / 2 fps sampling):
+    # some shots will land between uniform samples
+    write_scene_video(
+        stem, n_scenes=6, seed=72, height=48, width=64,
+        scene_len_frames=(16, 24),
+    )
+    p = shared_pipeline.process_video(stem + ".y4m")
+    norms = np.linalg.norm(p.visual, axis=1)
+    assert (norms > 0).all(), norms
