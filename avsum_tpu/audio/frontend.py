@@ -69,7 +69,12 @@ class AudioFrontend:
     ):
         self.use_pallas = use_pallas
         self.config = config
-        self.vggish = VGGish()
+        if config.encoder == "large":
+            from avsum_tpu.audio.vggish import LargeAudioEncoder
+
+            self.vggish = LargeAudioEncoder(embed_dim=config.vggish_dim)
+        else:
+            self.vggish = VGGish()
         if vggish_params is None:
             from avsum_tpu.vision.backbone import fast_init
 

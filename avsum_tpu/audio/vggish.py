@@ -60,6 +60,33 @@ def vggish_log_mel_patches(waveform: jnp.ndarray) -> jnp.ndarray:
     return logmel.reshape(n_patches, VGGISH_FRAMES, VGGISH_N_MELS)
 
 
+class LargeAudioEncoder(nn.Module):
+    """Upgraded audio encoder (BASELINE config 4): a deeper/wider conv
+    stack over the same 96x64 log-mel patches, same 128-d output contract.
+    ~4x the conv FLOPs of VGGish — still negligible next to the visual
+    backbones, but a materially bigger receptive capacity."""
+
+    embed_dim: int = VGGISH_EMBED
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
+        x = patches.astype(self.dtype)[..., None]
+        for i, (features, reps) in enumerate(
+            [(96, 2), (192, 2), (384, 3), (768, 3)]
+        ):
+            for j in range(reps):
+                x = nn.Conv(features, (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"conv{i+1}_{j+1}")(x)
+                x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i+1}_{j+1}")(x)
+                x = nn.gelu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = jnp.mean(x, axis=(1, 2))  # [B, 768]
+        x = nn.gelu(nn.Dense(1024, dtype=self.dtype, name="fc1")(x))
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(x)
+        return x.astype(jnp.float32)
+
+
 class VGGish(nn.Module):
     """AudioSet VGGish conv net: [B, 96, 64] -> [B, 128]."""
 

@@ -50,6 +50,7 @@ class FeatureCache:
         fps: float,
         n_frames: int,
         extra_meta: Optional[Dict] = None,
+        fingerprint: Optional[str] = None,
     ) -> None:
         visual = np.asarray(visual, np.float32)
         audio = np.asarray(audio, np.float32)
@@ -66,6 +67,8 @@ class FeatureCache:
             np.save(os.path.join(vdir, "audio.npy"), audio)
             np.save(os.path.join(vdir, "boundaries.npy"), boundaries)
             meta = {"fps": float(fps), "n_frames": int(n_frames)}
+            if fingerprint:
+                meta["fingerprint"] = fingerprint
             meta.update(extra_meta or {})
             with open(os.path.join(vdir, "meta.json"), "w") as fh:
                 json.dump(meta, fh)
@@ -105,3 +108,24 @@ class FeatureCache:
 
     def drop(self, video_id: str) -> None:
         shutil.rmtree(self._vdir(video_id), ignore_errors=True)
+
+    def matches(self, video_id: str, fingerprint: Optional[str]) -> bool:
+        """True when the cached entry was produced under ``fingerprint``
+        (feature-config hash) — guards against serving stale features after
+        a feature-extraction config change. Entries without a recorded
+        fingerprint are accepted (backward compatibility)."""
+        if fingerprint is None or not self.has(video_id):
+            return self.has(video_id)
+        recorded = self.meta(video_id).get("fingerprint")
+        return recorded is None or recorded == fingerprint
+
+
+def config_fingerprint(*cfgs) -> str:
+    """Stable short hash of feature-affecting config dataclasses."""
+    import dataclasses
+    import hashlib
+
+    blob = json.dumps(
+        [dataclasses.asdict(c) for c in cfgs], sort_keys=True, default=str
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]

@@ -280,22 +280,29 @@ class AVPipeline:
         """Sweep a directory into the feature cache. Per-item isolation:
         a failing video is logged and dropped, the sweep continues
         (preprocess.py:60-85 semantics, minus the import-time execution)."""
+        from avsum_tpu.data.cache import config_fingerprint
+
+        fp = config_fingerprint(self.config.visual, self.config.audio, self.detector)
         done = []
         names = sorted(
             f for f in os.listdir(input_dir) if f.lower().endswith(extensions)
         )
         for name in names:
             video_id = os.path.splitext(name)[0]
-            if cache.has(video_id):
+            if cache.matches(video_id, fp):
                 log.info("skip %s (cached)", video_id)
                 done.append(video_id)
                 continue
+            if cache.has(video_id):
+                log.info("re-extracting %s (feature config changed)", video_id)
+                cache.drop(video_id)
             path = os.path.join(input_dir, name)
             try:
                 p = self.process_video(path)
                 self._validate_dims(p)
                 cache.put(
-                    p.video_id, p.visual, p.audio, p.boundaries, p.fps, p.n_frames
+                    p.video_id, p.visual, p.audio, p.boundaries, p.fps,
+                    p.n_frames, fingerprint=fp,
                 )
                 done.append(video_id)
                 log.info("cached %s: %d shots", video_id, len(p.boundaries))

@@ -42,6 +42,7 @@ class AudioFeatConfig:
     log_base2: bool = True  # reference uses log2(mel + 1e-6) (extractors.py:243)
     eps: float = 1e-6
     vggish_dim: int = 128
+    encoder: str = "vggish"  # vggish | large (upgraded encoder, config 4)
     # audio feature contract: 40 (MFCC) + 128 (log-mel) + 128 (VGGish) = 296.
     # Resolves the reference's 296-vs-384 inconsistency (SURVEY.md §8.1).
     feature_dim: int = 296

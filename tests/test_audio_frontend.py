@@ -82,3 +82,13 @@ def test_shot_features_empty_waveform_finite(frontend):
     out = np.asarray(fe.shot_features(wav, bounds))
     assert out.shape == (1, 296)
     assert np.isfinite(out).all()
+
+
+def test_large_audio_encoder_contract():
+    from avsum_tpu.train.config import AudioFeatConfig
+
+    fe = AudioFrontend(AudioFeatConfig(encoder="large"))
+    wav = np.random.default_rng(7).standard_normal(16000).astype(np.float32) * 0.1
+    out = np.asarray(fe.shot_features(wav, np.array([[0, 16000]], np.float32)))
+    assert out.shape == (1, 296)
+    assert np.isfinite(out).all()

@@ -148,3 +148,21 @@ def test_summe_parser(tmp_path):
     np.testing.assert_allclose(video.gt_score, gt, rtol=1e-6)
     assert video.user_score.shape == (n, 15)
     assert video.fps == 25.0
+
+
+def test_cache_fingerprint_guard(tmp_path):
+    from avsum_tpu.data.cache import config_fingerprint
+    from avsum_tpu.train.config import AudioFeatConfig, VisualFeatConfig
+
+    cache = FeatureCache(str(tmp_path / "cache"))
+    visual, audio, bounds, n = _fake_features()
+    fp1 = config_fingerprint(VisualFeatConfig(), AudioFeatConfig())
+    fp2 = config_fingerprint(VisualFeatConfig(sample_fps=1.0), AudioFeatConfig())
+    assert fp1 != fp2
+    cache.put("v", visual, audio, bounds, 30.0, n, fingerprint=fp1)
+    assert cache.matches("v", fp1)
+    assert not cache.matches("v", fp2)
+    assert cache.matches("v", None)  # no-fingerprint callers accept any
+    # entries without a recorded fingerprint are accepted (compat)
+    cache.put("old", visual, audio, bounds, 30.0, n)
+    assert cache.matches("old", fp1)
