@@ -284,6 +284,10 @@ def cmd_summarize(args) -> int:
         return 0 if n_ok else 1
 
     out = run_one(args.video)
+    if args.render:
+        from avsum_tpu.summary.render import render_summary
+
+        render_summary(args.video, out["segments"], args.render)
     if args.output:
         with open(args.output, "w") as fh:
             json.dump(out, fh, indent=1)
@@ -338,6 +342,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("video", help="video file or directory (batch mode)")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--output", default=None)
+    p.add_argument(
+        "--render",
+        default=None,
+        metavar="OUT_STEM",
+        help="also write the summary media to OUT_STEM.y4m/.wav",
+    )
     p.set_defaults(fn=cmd_summarize)
 
     args = parser.parse_args(argv)

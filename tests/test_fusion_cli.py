@@ -72,3 +72,29 @@ def test_cli_batch_summarize(tmp_path):
     assert files == ["b0.json", "b1.json"]
     data = json.load(open(os.path.join(out_dir, "b0.json")))
     assert data["segments"] and data["n_frames"] > 0
+
+
+def test_cli_summarize_render(tmp_path):
+    from avsum_tpu.cli.main import main
+    from avsum_tpu.io.synthetic import write_scene_video
+    from avsum_tpu.io.y4m import Y4MReader
+    from avsum_tpu.io.wav import read_wav
+
+    stem = str(tmp_path / "r")
+    write_scene_video(stem, n_scenes=3, seed=90, height=32, width=32)
+    out_stem = str(tmp_path / "summary")
+    rc = main([
+        "summarize", stem + ".y4m", "--render", out_stem,
+        "--output", str(tmp_path / "s.json"),
+        "--set", "visual.backbone=tiny",
+    ])
+    assert rc == 0
+    with Y4MReader(out_stem + ".y4m") as r:
+        n = r.n_frames
+        assert n > 0
+        frame = r.read_frame(0)
+        assert frame.shape == (32, 32, 3)
+    samples, rate = read_wav(out_stem + ".wav")
+    assert rate == 16000
+    # audio length matches the rendered frames' duration (within a frame)
+    assert abs(len(samples) / rate - n / 30.0) < 0.2
