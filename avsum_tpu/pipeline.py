@@ -200,65 +200,70 @@ class AVPipeline:
         the host C++ computes detection scores. Shot assignment + pooling
         happen after both finish (overlap hides whichever side is shorter).
         """
+        import threading
+
         from avsum_tpu.temporal.shots import boundaries_from_cuts, cuts_from_scores
 
         fps, n_frames = reader.fps, reader.n_frames
         stride = max(1, round(fps / self.config.visual.sample_fps))
         frame_idx = np.arange(0, n_frames, stride, dtype=np.int64)
+        scale = self._detect_downscale(reader.width)
+
+        # host detection (C++ — releases the GIL) and wav loading run in
+        # threads CONCURRENTLY with the device dispatch loop below
+        host_work: Dict = {}
+
+        def _detect():
+            host_work["scores"] = reader.content_scores(scale=scale)
+
+        def _wav():
+            host_work["waveform"] = self._load_audio(reader.path, n_frames / fps)
+
+        det_thread = threading.Thread(target=_detect)
+        wav_thread = threading.Thread(target=_wav)
+        det_thread.start()
+        wav_thread.start()
 
         with annotate("avsum.visual_dispatch"):
             yuv = reader.read_yuv420(frame_idx)
             pending, nf = self.visual.dispatch_yuv(*yuv)  # async on device
 
         with annotate("avsum.audio_dispatch"):
-            # whole-waveform audio features don't need boundaries either —
-            # enqueue them behind the visual batches before host detection
-            waveform = self._load_audio(reader.path, n_frames / fps)
-            audio_full = self.audio.dispatch_full(waveform)
+            wav_thread.join()
+            audio_full = self.audio.dispatch_full(host_work["waveform"])
 
         with annotate("avsum.shot_detect_host"):
-            scale = self._detect_downscale(reader.width)
-            scores = reader.content_scores(scale=scale)  # host C++, overlaps
+            det_thread.join()
             cuts = cuts_from_scores(
-                scores, self.detector.threshold, self.detector.min_scene_len
+                host_work["scores"],
+                self.detector.threshold,
+                self.detector.min_scene_len,
             )
             boundaries = boundaries_from_cuts(cuts, n_frames)
             if len(boundaries) == 0:
                 boundaries = np.array([[0, n_frames]], np.int64)
 
         with annotate("avsum.visual_pool"):
-            feats = self.visual.collect(pending, nf)
             starts = boundaries[:, 0]
             shot_ids = np.searchsorted(starts, frame_idx, side="right") - 1
-            # shots shorter than the sampling stride may have caught no
-            # uniform sample; embed their start frames so every shot has
-            # at least one (matching the per-shot sampling of the classic
-            # path, extractors.py:399-400) — a tiny second dispatch
-            hit = np.zeros(len(boundaries), bool)
-            hit[np.unique(shot_ids)] = True
-            if not hit.all():
-                extra_idx = boundaries[~hit, 0]
-                extra_yuv = reader.read_yuv420(extra_idx)
-                extra = self.visual.frame_features_yuv(*extra_yuv)
-                feats = np.concatenate([feats, extra])
-                frame_idx = np.concatenate([frame_idx, extra_idx])
-                shot_ids = np.concatenate(
-                    [shot_ids, np.flatnonzero(~hit).astype(shot_ids.dtype)]
-                )
-                order = np.argsort(shot_ids, kind="stable")
-                feats, frame_idx, shot_ids = (
-                    feats[order], frame_idx[order], shot_ids[order]
-                )
             # per-shot cap (reference caps frames per shot, extractors.py:400)
             cap = self.config.visual.max_frames_per_shot
             first_of_shot = np.searchsorted(shot_ids, np.arange(len(boundaries)))
             rank = np.arange(len(frame_idx)) - first_of_shot[shot_ids]
             keep = rank < cap
-            sums = np.zeros((len(boundaries), feats.shape[1]), np.float32)
-            counts = np.zeros(len(boundaries), np.float32)
-            np.add.at(sums, shot_ids[keep], feats[keep])
-            np.add.at(counts, shot_ids[keep], 1.0)
-            visual = sums / np.maximum(counts, 1.0)[:, None]
+            # pooling happens ON DEVICE: only the [S, D] pooled features
+            # cross the link instead of the [F, D] raw frame features
+            visual, counts = self.visual.pool_on_device(
+                pending, nf, shot_ids, keep, len(boundaries)
+            )
+            # shots shorter than the sampling stride caught no uniform
+            # sample; embed their start frames so every shot has at least
+            # one (matching the classic path, extractors.py:399-400)
+            missing = counts <= 0
+            if missing.any():
+                extra_idx = boundaries[missing, 0]
+                extra_yuv = reader.read_yuv420(extra_idx)
+                visual[missing] = self.visual.frame_features_yuv(*extra_yuv)
 
         with annotate("avsum.audio_pool"):
             sr = self.config.audio.sample_rate

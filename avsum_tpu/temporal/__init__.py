@@ -4,5 +4,18 @@ from avsum_tpu.temporal.align import (
     align_shots_to_annotations,
     shot_segment_means,
 )
+from avsum_tpu.temporal.shots import (
+    ContentDetectorConfig,
+    content_scores,
+    detect_shots,
+    detect_shots_streaming,
+)
 
-__all__ = ["align_shots_to_annotations", "shot_segment_means"]
+__all__ = [
+    "align_shots_to_annotations",
+    "shot_segment_means",
+    "ContentDetectorConfig",
+    "content_scores",
+    "detect_shots",
+    "detect_shots_streaming",
+]

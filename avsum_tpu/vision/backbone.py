@@ -192,6 +192,54 @@ class VisualFrontend:
             return np.zeros((0, self.config.feature_dim), np.float32)
         return np.concatenate(jax.device_get(pending), axis=0)[:n_frames]
 
+    def pool_on_device(
+        self,
+        pending,
+        n_frames: int,
+        shot_ids: np.ndarray,
+        keep: np.ndarray,
+        n_shots: int,
+    ):
+        """Segment-pool dispatched frame features ON DEVICE and ship only
+        the [n_shots, D] result (+counts) — for long videos the raw
+        [F, D] feature readback dominates the pipeline on a slow link.
+
+        shot_ids/keep: per-sampled-frame shot assignment and cap mask.
+        Returns (pooled [n_shots, D] f32, counts [n_shots]).
+        """
+        if not pending:
+            return (
+                np.zeros((n_shots, self.config.feature_dim), np.float32),
+                np.zeros(n_shots, np.float32),
+            )
+        if not hasattr(self, "_pool_jit"):
+            def _pool(feats_list, ids, keep_mask, n_seg):
+                feats = jnp.concatenate(feats_list, axis=0)
+                w = keep_mask.astype(jnp.float32)[:, None]
+                sums = jax.ops.segment_sum(
+                    feats.astype(jnp.float32) * w, ids, num_segments=n_seg
+                )
+                counts = jax.ops.segment_sum(
+                    w[:, 0], ids, num_segments=n_seg
+                )
+                return sums / jnp.maximum(counts, 1.0)[:, None], counts
+
+            self._pool_jit = jax.jit(_pool, static_argnames=("n_seg",))
+        f_pad = sum(p.shape[0] for p in pending)
+        # bucket the shot count so one program serves many videos
+        n_bucket = max(64, -(-n_shots // 64) * 64)
+        ids = np.full(f_pad, n_bucket, np.int32)  # padding -> overflow bin
+        ids[:n_frames] = np.asarray(shot_ids, np.int32)
+        keep_p = np.zeros(f_pad, np.float32)
+        keep_p[:n_frames] = np.asarray(keep, np.float32)
+        pooled, counts = self._pool_jit(
+            tuple(pending), jnp.asarray(ids), jnp.asarray(keep_p),
+            n_bucket + 1,
+        )
+        pooled = np.asarray(pooled)[:n_shots]
+        counts = np.asarray(counts)[:n_shots]
+        return pooled, counts
+
     def frame_features_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
         """YUV420-plane variant of frame_features (half the shipped bytes)."""
         pending, f = self.dispatch_yuv(y, u, v)
