@@ -95,3 +95,42 @@ def test_detect_shots_device_path_still_works():
     bounds = detect_shots(video)
     assert bounds[-1][1] == video.shape[0]
     assert 2 <= len(bounds) <= 5
+
+
+def test_pool_on_device_matches_host_pooling():
+    """Device segment pooling == host np.add.at pooling (it replaced the
+    host path in the overlapped pipeline)."""
+    import jax.numpy as jnp
+
+    from avsum_tpu.train.config import VisualFeatConfig
+    from avsum_tpu.vision.backbone import TinyBackbone, VisualFrontend
+
+    fe = VisualFrontend(
+        VisualFeatConfig(backbone="tiny"), model=TinyBackbone(64), batch_size=8
+    )
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (20, 32, 32, 3), dtype=np.uint8)
+    feats_host = fe.frame_features(frames)
+
+    # reconstruct the pending list the dispatcher would produce
+    pending = []
+    for i in range(0, 20, 8):
+        chunk = frames[i : i + 8]
+        if chunk.shape[0] < 8:
+            chunk = np.concatenate(
+                [chunk, np.zeros((8 - chunk.shape[0], 32, 32, 3), np.uint8)]
+            )
+        pending.append(fe._embed(fe.variables, jnp.asarray(chunk)))
+
+    shot_ids = np.array([0] * 7 + [1] * 5 + [2] * 8)
+    keep = np.ones(20, bool)
+    keep[10:12] = False  # capped-out frames
+    pooled, counts = fe.pool_on_device(pending, 20, shot_ids, keep, 3)
+
+    expect = np.zeros((3, 64), np.float32)
+    cnt = np.zeros(3, np.float32)
+    np.add.at(expect, shot_ids[keep], feats_host[keep])
+    np.add.at(cnt, shot_ids[keep], 1.0)
+    expect /= np.maximum(cnt, 1.0)[:, None]
+    np.testing.assert_allclose(pooled, expect, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(counts, cnt, atol=1e-6)
