@@ -25,3 +25,31 @@ Top-level distribution name:
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level convenience API (keeps `import avsum_tpu` dependency-light)
+_EXPORTS = {
+    "AVPipeline": ("avsum_tpu.pipeline", "AVPipeline"),
+    "AVScorer": ("avsum_tpu.models", "AVScorer"),
+    "make_model": ("avsum_tpu.models", "make_model"),
+    "Trainer": ("avsum_tpu.train.trainer", "Trainer"),
+    "Config": ("avsum_tpu.train.config", "Config"),
+    "load_config": ("avsum_tpu.train.config", "load_config"),
+    "FeatureCache": ("avsum_tpu.data.cache", "FeatureCache"),
+    "build_mesh": ("avsum_tpu.parallel.mesh", "build_mesh"),
+    "MeshConfig": ("avsum_tpu.parallel.mesh", "MeshConfig"),
+    "select_summary": ("avsum_tpu.summary.knapsack", "select_summary"),
+    "evaluate_scores": ("avsum_tpu.summary.metrics", "evaluate_scores"),
+}
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        module, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'avsum_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))

@@ -34,7 +34,10 @@ class MultiHeadCrossAttention(nn.Module):
     """Queries from ``x``, keys/values from ``y`` (co-attention between
     modality streams — the true "cross-modal attention fusion" of
     BASELINE config 4; the reference's nn.MultiheadAttention was pure
-    self-attention over the concatenated features, av_model.py:44)."""
+    self-attention over the concatenated features, av_model.py:44).
+    Attention-based AV fusion of this shape is the efficient alternative
+    to full joint self-attention (cf. Attend-Fusion, arXiv:2408.14441 —
+    see PAPERS.md)."""
 
     embed_dim: int
     num_heads: int = 4

@@ -11,6 +11,8 @@ whole chain frames -> window -> |DFT|^2 -> mel -> log is a sequence of
 MXU matmuls + VPU elementwise ops that XLA fuses; there is no FFT
 butterfly (data-dependent shuffles are hostile to the MXU, and for
 n_fft=400 the dense DFT matmul is faster on TPU than a radix FFT).
+This is the GEMM-native NDFT formulation for accelerator audio
+front-ends (cf. MelT, arXiv:2606.01009 — see PAPERS.md).
 A fully fused single-kernel Pallas variant lives in
 :mod:`avsum_tpu.ops.pallas_melspec`.
 

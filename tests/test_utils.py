@@ -64,3 +64,15 @@ def test_trace_to_produces_files(tmp_path):
     # a plugins/ or .trace file tree should exist
     found = any(os.scandir(str(tmp_path)))
     assert found
+
+
+def test_top_level_lazy_exports():
+    import avsum_tpu
+
+    assert callable(avsum_tpu.load_config)
+    assert callable(avsum_tpu.make_model)
+    assert "AVPipeline" in dir(avsum_tpu)
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        avsum_tpu.does_not_exist
