@@ -124,3 +124,18 @@ def test_open_video_unsupported_extension(tmp_path):
     bad.write_bytes(b"\x00" * 100)
     with pytest.raises(RuntimeError, match="cannot decode"):
         open_video(str(bad))
+
+
+@pytest.mark.skipif(not native_available(), reason="libavsumio.so not built")
+def test_native_prefetch_with_stride(tmp_path):
+    video, _, _ = make_scene_video(n_scenes=2, seed=65, height=32, width=32)
+    path = str(tmp_path / "st.y4m")
+    write_y4m(path, video)
+    with NativeY4MReader(path) as nat:
+        seen = []
+        for first, block in nat.iter_blocks(block_frames=8, stride=3):
+            # block frames are every 3rd frame starting at `first`
+            ref = nat.read_frames(range(first, min(first + 3 * block.shape[0], nat.n_frames), 3))
+            np.testing.assert_array_equal(block, ref)
+            seen.append(first)
+        assert seen[0] == 0

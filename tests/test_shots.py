@@ -86,3 +86,19 @@ def test_min_scene_len_enforced():
 
 def test_empty_video():
     assert detect_shots(np.zeros((0, 8, 8, 3), np.uint8)).shape == (0, 2)
+
+
+def test_content_scores_weighted_matches_unweighted_at_equal_weights():
+    from avsum_tpu.temporal.shots import ContentDetectorConfig, content_scores_weighted
+
+    video, _, _ = make_scene_video(n_scenes=3, seed=64, height=32, width=48)
+    equal = np.asarray(content_scores_weighted(video, ContentDetectorConfig()))
+    plain = np.asarray(content_scores(video))
+    np.testing.assert_allclose(equal, plain, rtol=1e-5, atol=1e-5)
+    # zero-ing the hue weight must change scores on colored content
+    lum_only = np.asarray(
+        content_scores_weighted(
+            video, ContentDetectorConfig(weight_hue=0.0, weight_sat=0.0)
+        )
+    )
+    assert not np.allclose(lum_only, plain)
