@@ -65,9 +65,23 @@ class AudioFrontend:
         config: AudioFeatConfig = AudioFeatConfig(),
         vggish_params=None,
         seed: int = 0,
-        use_pallas: bool = False,
+        use_pallas: Optional[bool] = None,
     ):
-        self.use_pallas = use_pallas
+        from avsum_tpu.ops import pallas_enabled
+
+        flag = use_pallas if use_pallas is not None else config.use_pallas
+        self.use_pallas = pallas_enabled(flag)
+        if self.use_pallas and config.n_fft != 2 * config.hop_length:
+            if flag is True:  # explicitly requested, loudly refused
+                import warnings
+
+                warnings.warn(
+                    "audio.use_pallas=True but the fused log-mel kernel "
+                    f"requires n_fft == 2*hop_length (got {config.n_fft}/"
+                    f"{config.hop_length}); using the XLA spectral path",
+                    stacklevel=2,
+                )
+            self.use_pallas = False
         self.config = config
         if config.encoder == "large":
             from avsum_tpu.audio.vggish import LargeAudioEncoder
@@ -93,8 +107,8 @@ class AudioFrontend:
         """Whole-waveform streams (no boundaries needed -> dispatchable
         before/while shot detection runs on the host)."""
         cfg = self.config
-        if self.use_pallas and cfg.n_fft == 2 * cfg.hop_length:
-            from avsum_tpu.ops.pallas_melspec import fused_log_mel
+        if self.use_pallas:
+            from avsum_tpu.ops import fused_log_mel
 
             mel, lm = fused_log_mel(
                 waveform,
@@ -104,6 +118,8 @@ class AudioFrontend:
                 n_mels=cfg.n_mels,
                 eps=cfg.eps,
             )
+            if not cfg.log_base2:  # kernel emits log2; rescale to ln
+                lm = lm * jnp.log(2.0)
         else:
             mel = mel_spectrogram(
                 waveform,

@@ -18,6 +18,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 NEG_INF = -1e30
 
@@ -81,6 +82,11 @@ class MultiHeadSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     chunk_size: int = 0  # >0: blockwise query chunking (O(chunk*S) memory)
+    # Context parallelism: when set (and the mesh's seq axis is >1), the
+    # sequence axis stays sharded and K/V rotate around the ICI ring
+    # (avsum_tpu.parallel.ring) instead of XLA all-gathering the keys.
+    # Exact attention; differentiable (fori_loop has static trip count).
+    ring_mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -97,7 +103,15 @@ class MultiHeadSelfAttention(nn.Module):
         )(x)  # [B,S,3,H,D]
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,S,H,D]
 
-        if self.use_pallas:
+        if self.ring_mesh is not None:
+            from avsum_tpu.parallel.mesh import AXIS_DATA, AXIS_SEQ
+            from avsum_tpu.parallel.ring import ring_attention
+
+            ctx = ring_attention(
+                q, k, v, self.ring_mesh, mask=mask,
+                axis_name=AXIS_SEQ, batch_axis=AXIS_DATA,
+            ).astype(self.dtype)
+        elif self.use_pallas:
             from avsum_tpu.ops import flash_attention
 
             ctx = flash_attention(q, k, v, mask=mask)

@@ -48,11 +48,28 @@ class ModalityMLP(nn.Module):
 
 
 class AVScorer(nn.Module):
-    """Per-shot importance scores in [0, 1] from audio-visual features."""
+    """Per-shot importance scores in [0, 1] from audio-visual features.
+
+    ``mesh``: when set and its ``seq`` axis is >1, every self-attention in
+    the model runs ring-mode (context parallel over the shot/frame axis,
+    :mod:`avsum_tpu.parallel.ring`) — the sequence stays sharded end to end
+    instead of XLA all-gathering keys per attention. Set by the trainer via
+    ``model.clone(mesh=mesh)``; parameters are identical either way.
+    """
 
     config: ModelConfig = ModelConfig()
+    mesh: Optional[object] = None  # jax.sharding.Mesh (static metadata)
 
-    def _temporal(self, name: str):
+    def _ring_mesh(self):
+        if self.mesh is None:
+            return None
+        from avsum_tpu.parallel.mesh import AXIS_SEQ
+
+        if dict(self.mesh.shape).get(AXIS_SEQ, 1) <= 1:
+            return None
+        return self.mesh
+
+    def _temporal(self, name: str, use_pallas: bool = False):
         cfg = self.config
         dtype = _DTYPES[cfg.dtype]
         kind = cfg.temporal_encoder
@@ -65,6 +82,8 @@ class AVScorer(nn.Module):
                 num_heads=cfg.num_heads,
                 dropout=cfg.dropout,
                 dtype=dtype,
+                use_pallas=use_pallas,
+                ring_mesh=self._ring_mesh(),
                 name=name,
             )
         if kind == "tcn":
@@ -89,6 +108,13 @@ class AVScorer(nn.Module):
         dtype = _DTYPES[cfg.dtype]
         assert visual.ndim == 3 and audio.ndim == 3, "expect [B,S,D] inputs"
 
+        # Flash-attention dispatch: only at inference (deterministic=True) —
+        # the Pallas kernel is forward-only, training autodiffs the XLA
+        # attention with identical math (golden-tested equivalence).
+        from avsum_tpu.ops import pallas_enabled
+
+        use_pallas = bool(deterministic) and pallas_enabled(cfg.use_pallas)
+
         v = ModalityMLP(cfg.hidden_dim, cfg.dropout, dtype, name="visual_fc")(
             visual.astype(dtype), deterministic
         )
@@ -99,8 +125,8 @@ class AVScorer(nn.Module):
         kwargs = (
             {} if cfg.temporal_encoder == "bilstm" else {"deterministic": deterministic}
         )
-        v = self._temporal("visual_temporal")(v, mask, **kwargs)
-        a = self._temporal("audio_temporal")(a, mask, **kwargs)
+        v = self._temporal("visual_temporal", use_pallas)(v, mask, **kwargs)
+        a = self._temporal("audio_temporal", use_pallas)(a, mask, **kwargs)
 
         if cfg.fusion == "cross":
             # co-attention: each modality queries the other, residual added
@@ -117,7 +143,9 @@ class AVScorer(nn.Module):
                 2 * cfg.hidden_dim,
                 cfg.num_heads,
                 dtype=dtype,
+                use_pallas=use_pallas,
                 chunk_size=cfg.chunk_size,
+                ring_mesh=self._ring_mesh(),
                 name="cross_attention",
             )(fused, mask)
 
@@ -130,5 +158,7 @@ class AVScorer(nn.Module):
         return scores
 
 
-def make_model(config: ModelConfig = ModelConfig()) -> AVScorer:
-    return AVScorer(config=config)
+def make_model(config: ModelConfig = ModelConfig(), mesh=None) -> AVScorer:
+    """Build the flagship scorer. Pass a mesh with a seq axis >1 to run all
+    attention context-parallel (ring); params are identical either way."""
+    return AVScorer(config=config, mesh=mesh)

@@ -109,13 +109,16 @@ class AttentionBlock(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False  # flash-attention kernel (inference dispatch)
+    ring_mesh: object = None  # context-parallel ring attention (training)
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = MultiHeadSelfAttention(self.dim, self.num_heads, dtype=self.dtype)(
-            y, mask
-        )
+        y = MultiHeadSelfAttention(
+            self.dim, self.num_heads, dtype=self.dtype,
+            use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
+        )(y, mask)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
@@ -137,6 +140,8 @@ class AttentionEncoder(nn.Module):
     num_heads: int = 4
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    ring_mesh: object = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -149,6 +154,8 @@ class AttentionEncoder(nn.Module):
                 self.num_heads,
                 self.dropout,
                 self.dtype,
+                use_pallas=self.use_pallas,
+                ring_mesh=self.ring_mesh,
                 name=f"block{i}",
             )(x, mask, deterministic)
         return x

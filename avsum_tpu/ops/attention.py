@@ -26,8 +26,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+# Swept on a v5e at S=7168/14336, H=4, D=256 (the hour-scale scorer shapes):
+# 128x128 ran 0.85x of XLA attention, 512x512 runs 1.06x/1.28x — bigger
+# blocks amortize the grid's sequential kv loop and keep the MXU fed.
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
 
 
 def _flash_kernel(

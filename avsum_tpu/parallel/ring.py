@@ -27,7 +27,7 @@ from avsum_tpu.parallel.mesh import AXIS_SEQ
 NEG_INF = -1e30
 
 
-def _ring_attention_local(q, k, v, bias, axis_name: str):
+def _ring_attention_local(q, k, v, bias, axis_name: str, vary_axes=None):
     """shard_map body: q/k/v [B, Sl, H, D] local chunks, bias [B, Sl]."""
     n = jax.lax.psum(1, axis_name)
     d = q.shape[-1]
@@ -65,11 +65,13 @@ def _ring_attention_local(q, k, v, bias, axis_name: str):
     m0 = jnp.full((b, h, sl, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, h, sl, 1), jnp.float32)
     acc0 = jnp.zeros((b, h, sl, d), jnp.float32)
-    # constants created inside shard_map are unvarying over the mesh axis;
-    # the loop carry becomes varying after the first ppermute fold, so mark
-    # the initial carry varying explicitly (JAX vma typing rule)
+    # constants created inside shard_map are unvarying over the mesh axes;
+    # the loop carry becomes varying after the first fold (q/k/v are varying
+    # over the seq axis AND any batch axis), so mark the initial carry
+    # varying over the same axes explicitly (JAX vma typing rule)
+    axes = tuple(vary_axes) if vary_axes else (axis_name,)
     m0, l0, acc0 = (
-        jax.lax.pcast(x, (axis_name,), to="varying") for x in (m0, l0, acc0)
+        jax.lax.pcast(x, axes, to="varying") for x in (m0, l0, acc0)
     )
 
     def body(i, state):
@@ -93,6 +95,7 @@ def ring_attention(
     mesh: Mesh,
     mask: Optional[jnp.ndarray] = None,
     axis_name: str = AXIS_SEQ,
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Exact attention with the sequence axis sharded over ``axis_name``.
 
@@ -100,8 +103,11 @@ def ring_attention(
       q, k, v: [B, S, H, D]; S must divide by the seq-axis size.
       mesh: mesh containing ``axis_name``.
       mask: optional [B, S] key-validity mask.
+      batch_axis: mesh axis the batch dim is sharded over (training batches
+        are data-parallel; the ring body needs no collective over it, but
+        the shard_map specs must carry it so no resharding is forced).
 
-    Returns [B, S, H, D] f32, sequence-sharded like the inputs.
+    Returns [B, S, H, D] f32, sharded like the inputs.
     """
     b, s, h, d = q.shape
     bias = (
@@ -109,10 +115,13 @@ def ring_attention(
         if mask is None
         else jnp.where(jnp.asarray(mask, bool), 0.0, NEG_INF).astype(jnp.float32)
     )
-    qkv_spec = P(None, axis_name, None, None)
-    bias_spec = P(None, axis_name)
+    qkv_spec = P(batch_axis, axis_name, None, None)
+    bias_spec = P(batch_axis, axis_name)
+    vary = (axis_name,) if batch_axis is None else (batch_axis, axis_name)
     fn = jax.shard_map(
-        functools.partial(_ring_attention_local, axis_name=axis_name),
+        functools.partial(
+            _ring_attention_local, axis_name=axis_name, vary_axes=vary
+        ),
         mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
         out_specs=qkv_spec,

@@ -33,7 +33,10 @@ class DataConfig:
 class AudioFeatConfig:
     sample_rate: int = 16000  # matches reference/VGGish (extractors.py:184)
     n_fft: int = 400
-    hop_length: int = 160
+    # torchaudio's MelSpectrogram/MFCC default (hop = n_fft // 2), the
+    # settings the reference ran with (extractors.py:236-246). Also the
+    # n_fft == 2*hop shape the fused Pallas log-mel kernel requires.
+    hop_length: int = 200
     win_length: int = 400
     n_mels: int = 128  # reference MelSpectrogram n_mels=128 (extractors.py:241)
     n_mfcc: int = 40  # reference MFCC n_mfcc=40 (extractors.py:236)
@@ -43,6 +46,9 @@ class AudioFeatConfig:
     eps: float = 1e-6
     vggish_dim: int = 128
     encoder: str = "vggish"  # vggish | large (upgraded encoder, config 4)
+    # fused STFT->mel->log Pallas kernel: None = auto (on for TPU backends,
+    # off elsewhere); requires n_fft == 2*hop_length
+    use_pallas: Optional[bool] = None
     # audio feature contract: 40 (MFCC) + 128 (log-mel) + 128 (VGGish) = 296.
     # Resolves the reference's 296-vs-384 inconsistency (SURVEY.md §8.1).
     feature_dim: int = 296
@@ -76,6 +82,10 @@ class ModelConfig:
     temporal_layers: int = 2
     fusion: str = "self"  # self (MHSA over concat) | cross (co-attention)
     chunk_size: int = 0  # 0 = full attention; >0 = blockwise/chunked
+    # flash-attention Pallas kernel for inference attention: None = auto
+    # (on for TPU backends). Training always uses the XLA attention (the
+    # kernel is forward-only; XLA autodiffs its own attention).
+    use_pallas: Optional[bool] = None
     dtype: str = "float32"
 
 

@@ -103,17 +103,33 @@ def shard_batch_dict(batch: Batch, mesh: Mesh) -> Batch:
     return {k: jax.device_put(np.asarray(v), shardings[k]) for k, v in batch.items()}
 
 
+def _mesh_model(model, mesh: Optional[Mesh]):
+    """Clone the scorer onto the mesh so its attention runs ring-mode when
+    the seq axis is >1 (context parallelism; params are unchanged)."""
+    if (
+        mesh is not None
+        and hasattr(model, "mesh")
+        and getattr(model, "mesh", None) is None
+        and dict(mesh.shape).get(AXIS_SEQ, 1) > 1
+    ):
+        return model.clone(mesh=mesh)
+    return model
+
+
 def make_train_step(model, mesh: Optional[Mesh] = None, seed: int = 0):
     """Build the jitted train step. With a mesh, inputs/outputs carry
-    NamedShardings so XLA emits the psum for the data/seq-parallel grads."""
+    NamedShardings so XLA emits the psum for the data/seq-parallel grads,
+    and attention over the sharded sequence axis runs as ring attention
+    (exact; K/V rotate over ICI instead of being all-gathered)."""
 
     base_rng = jax.random.PRNGKey(seed)
+    model = _mesh_model(model, mesh)
 
     def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, Dict]:
         dropout_rng = jax.random.fold_in(base_rng, state.step)
 
         def loss_fn(params):
-            preds = state.apply_fn(
+            preds = model.apply(
                 {"params": params},
                 batch["visual"],
                 batch["audio"],
@@ -148,6 +164,8 @@ def make_train_step(model, mesh: Optional[Mesh] = None, seed: int = 0):
 
 
 def make_eval_step(model, mesh: Optional[Mesh] = None):
+    model = _mesh_model(model, mesh)
+
     def eval_step(params, batch: Batch) -> Dict[str, jnp.ndarray]:
         preds = model.apply(
             {"params": params},
