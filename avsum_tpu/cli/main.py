@@ -179,9 +179,7 @@ def _canonical_eval(cfg: Config, trainer, examples) -> dict:
     """Canonical per-annotator knapsack F1 (summary/protocol.py)."""
     import numpy as np
 
-    from avsum_tpu.data.batching import pad_batch
     from avsum_tpu.summary.protocol import evaluate_canonical
-    from avsum_tpu.train.steps import shard_batch_dict
 
     if cfg.data.dataset == "tvsum":
         from avsum_tpu.data.tvsum import load_tvsum, tvsum_index
@@ -202,18 +200,13 @@ def _canonical_eval(cfg: Config, trainer, examples) -> dict:
     for ex in examples:
         if ex.video_id not in anno:
             continue
-        batch = pad_batch([ex], cfg.data.max_shots)
-        out = trainer.eval_step(
-            trainer.state.params, shard_batch_dict(batch, trainer.mesh)
-        )
-        # videos longer than the shot bucket are truncated consistently
-        # (preds AND boundaries), matching pad_batch's truncation
-        s = min(ex.n_shots, cfg.data.max_shots)
-        preds = np.asarray(out["preds"])[0, :s]
+        # every shot is scored, even past the training bucket: long videos
+        # climb the power-of-two bucket ladder inside score_video
+        preds = trainer.score_video(ex, cfg.data.max_shots)
         videos.append(
             {
                 "pred_shot_scores": preds,
-                "boundaries": ex.shot_boundaries[:s],
+                "boundaries": ex.shot_boundaries,
                 "n_frames": ex.n_frames,
                 user_key: get_users(ex.video_id),
             }

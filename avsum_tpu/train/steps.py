@@ -24,7 +24,7 @@ import optax
 from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from avsum_tpu.parallel.mesh import AXIS_DATA, AXIS_SEQ
+from avsum_tpu.parallel.mesh import AXIS_DATA, AXIS_MODEL, AXIS_SEQ
 from avsum_tpu.train.config import TrainConfig
 
 
@@ -116,7 +116,34 @@ def _mesh_model(model, mesh: Optional[Mesh]):
     return model
 
 
-def make_train_step(model, mesh: Optional[Mesh] = None, seed: int = 0):
+def param_partition_spec(x, mesh: Mesh) -> P:
+    """Tensor-parallel placement of one parameter/optimizer leaf: matrices
+    (and DenseGeneral kernels) shard their output dim over the ``model``
+    axis when it divides; vectors/scalars replicate. This is the reserved
+    TP axis for the upgraded encoders (SURVEY.md §2 #19) — XLA inserts the
+    all-gathers/reduce-scatters around the sharded matmuls (GSPMD)."""
+    m = dict(mesh.shape).get(AXIS_MODEL, 1)
+    ndim = getattr(x, "ndim", 0)
+    if m > 1 and ndim >= 2 and x.shape[-1] % m == 0:
+        return P(*([None] * (ndim - 1) + [AXIS_MODEL]))
+    return P()
+
+
+def state_shardings(state, mesh: Mesh):
+    """NamedSharding pytree for a TrainState (params + mirrored opt state)."""
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, param_partition_spec(x, mesh)), state
+    )
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState onto the mesh with model-axis tensor parallelism."""
+    return jax.device_put(state, state_shardings(state, mesh))
+
+
+def make_train_step(
+    model, mesh: Optional[Mesh] = None, seed: int = 0, state_sharding=None
+):
     """Build the jitted train step. With a mesh, inputs/outputs carry
     NamedShardings so XLA emits the psum for the data/seq-parallel grads,
     and attention over the sharded sequence axis runs as ring attention
@@ -155,11 +182,14 @@ def make_train_step(model, mesh: Optional[Mesh] = None, seed: int = 0):
 
     replicated = NamedSharding(mesh, P())
     bs = batch_shardings(mesh)
+    # state_sharding (from state_shardings(state, mesh)) keeps params
+    # model-axis tensor-parallel across steps; default is replicated params
+    st = state_sharding if state_sharding is not None else replicated
     return jax.jit(
         train_step,
         donate_argnums=0,
-        in_shardings=(replicated, bs),
-        out_shardings=(replicated, replicated),
+        in_shardings=(st, bs),
+        out_shardings=(st, replicated),
     )
 
 

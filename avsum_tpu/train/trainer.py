@@ -144,6 +144,24 @@ class Trainer:
             self.ckpt.save(int(self.state.step), self.state, {"epoch": epoch})
         return self.state
 
+    def score_video(self, example, base_bucket: Optional[int] = None) -> np.ndarray:
+        """Score EVERY shot of one video — no ``max_shots`` truncation.
+
+        The shot axis is padded up a power-of-two bucket ladder (base, 2x,
+        4x, ...) so a long video (e.g. 604 shots at hour scale) compiles
+        O(log S) eval programs and every shot gets a score; truncating at
+        the training bucket would silently drop the tail from evaluation.
+        """
+        from avsum_tpu.data.batching import pad_batch
+
+        bucket = base_bucket or self.config.data.max_shots
+        s = example.n_shots
+        while bucket < s:
+            bucket *= 2
+        batch = pad_batch([example], bucket)
+        out = self.eval_step(self.state.params, shard_batch_dict(batch, self.mesh))
+        return np.asarray(jax.device_get(out["preds"]))[0, :s]
+
     def evaluate_videos(self, batches: Iterable[Batch]) -> Dict[str, float]:
         """Per-video metric means, matching evaluate.py:38-42's protocol
         (each video contributes one F1/rho/tau; dataset value is the mean)."""

@@ -116,3 +116,44 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
     mgr.close()
+
+
+def test_score_video_covers_all_shots_past_bucket():
+    """Long videos climb the bucket ladder: every shot is scored, none are
+    truncated at data.max_shots (VERDICT round-1 item 7)."""
+    from avsum_tpu.train.trainer import Trainer
+
+    cfg = Config(model=SMALL_MODEL)
+    base = cfg.data.max_shots  # 128
+    vids = make_synthetic_videos(
+        n_videos=1, min_shots=2 * base + 37, max_shots=2 * base + 37,
+        visual_dim=SMALL_MODEL.visual_dim, audio_dim=SMALL_MODEL.audio_dim,
+        seed=7,
+    )
+    long_ex = vids[0]
+    assert long_ex.n_shots == 2 * base + 37
+
+    trainer = Trainer(make_model(SMALL_MODEL), cfg, total_steps=10)
+    first = next(iter(batch_iterator(vids, 1, base, seed=0)))
+    trainer.init_state(first)
+
+    scores = trainer.score_video(long_ex)
+    assert scores.shape == (long_ex.n_shots,)
+    assert np.isfinite(scores).all()
+    # the tail past the training bucket carries real (nonzero) scores
+    assert np.abs(scores[base:]).max() > 0
+
+    # prefix consistency: scoring at the padded bucket directly agrees
+    from avsum_tpu.data.batching import pad_batch
+    from avsum_tpu.train.steps import shard_batch_dict
+
+    bucket = base
+    while bucket < long_ex.n_shots:
+        bucket *= 2
+    out = trainer.eval_step(
+        trainer.state.params,
+        shard_batch_dict(pad_batch([long_ex], bucket), trainer.mesh),
+    )
+    np.testing.assert_allclose(
+        scores, np.asarray(out["preds"])[0, : long_ex.n_shots], atol=1e-6
+    )
