@@ -105,12 +105,43 @@ class AVPipeline:
             yield from self._stream_blocks(reader, block)
 
     def _load_audio(self, video_path: str, duration_s: float) -> np.ndarray:
+        """Soundtrack resolution order (extractors.py:364-386 parity):
+        <stem>.wav sidecar, then the container's own audio track (PCM mp4
+        demuxes natively; compressed codecs raise with advice), then the
+        config-gated silence substitute."""
         wav_path = audio_path_for(video_path)
+        if wav_path is not None:
+            return load_audio_mono_16k(wav_path)
+
         sr = self.config.audio.sample_rate
-        if wav_path is None:
+        silence = np.zeros(max(int(duration_s * sr), sr), np.float32)
+        ext = os.path.splitext(video_path)[1].lower()
+        if ext in (".mp4", ".mov", ".m4v"):
+            from avsum_tpu.io.mp4 import (
+                Mp4NoAudioTrack,
+                Mp4UnsupportedCodec,
+                load_mp4_audio_mono_16k,
+            )
+
+            try:
+                return load_mp4_audio_mono_16k(video_path)
+            except Mp4NoAudioTrack:
+                # a video genuinely without a soundtrack: silence is correct
+                log.warning("%s has no audio track; using silence", video_path)
+                return silence
+            except Mp4UnsupportedCodec as e:
+                if self.config.audio.silence_fallback:
+                    log.warning("%s; using silence (audio.silence_fallback)", e)
+                    return silence
+                raise
+        # Y4M and friends cannot carry audio — the sidecar IS the channel
+        if self.config.audio.silence_fallback:
             log.warning("no paired audio for %s; using silence", video_path)
-            return np.zeros(max(int(duration_s * sr), sr), np.float32)
-        return load_audio_mono_16k(wav_path)
+            return silence
+        raise RuntimeError(
+            f"no audio for {video_path!r}: add a <stem>.wav sidecar or set "
+            "audio.silence_fallback=true to run video-only"
+        )
 
     # ------------------------------------------------------------------
     # feature extraction (the preprocess hot path)
@@ -217,7 +248,10 @@ class AVPipeline:
             host_work["scores"] = reader.content_scores(scale=scale)
 
         def _wav():
-            host_work["waveform"] = self._load_audio(reader.path, n_frames / fps)
+            try:
+                host_work["waveform"] = self._load_audio(reader.path, n_frames / fps)
+            except Exception as e:  # propagate across the thread join
+                host_work["wav_error"] = e
 
         det_thread = threading.Thread(target=_detect)
         wav_thread = threading.Thread(target=_wav)
@@ -230,6 +264,9 @@ class AVPipeline:
 
         with annotate("avsum.audio_dispatch"):
             wav_thread.join()
+            if "wav_error" in host_work:
+                det_thread.join()
+                raise host_work["wav_error"]
             audio_full = self.audio.dispatch_full(host_work["waveform"])
 
         with annotate("avsum.shot_detect_host"):

@@ -49,6 +49,12 @@ class AudioFeatConfig:
     # fused STFT->mel->log Pallas kernel: None = auto (on for TPU backends,
     # off elsewhere); requires n_fft == 2*hop_length
     use_pallas: Optional[bool] = None
+    # missing-audio policy: audio comes from a <stem>.wav sidecar or the
+    # container itself (PCM mp4 tracks demux natively, avsum_tpu/io/mp4.py).
+    # False (default) = error when a soundtrack should exist but cannot be
+    # decoded; True = substitute silence with a warning (reference-era
+    # behavior was silent substitution)
+    silence_fallback: bool = False
     # audio feature contract: 40 (MFCC) + 128 (log-mel) + 128 (VGGish) = 296.
     # Resolves the reference's 296-vs-384 inconsistency (SURVEY.md §8.1).
     feature_dim: int = 296
