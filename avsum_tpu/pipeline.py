@@ -87,12 +87,15 @@ class AVPipeline:
 
     @staticmethod
     def _detect_downscale(width: int) -> int:
-        """Auto-downscale for content scoring: aim for an effective width
-        around 100 px. Scores are per-pixel means, so subsampling barely
-        moves them (cut agreement verified in tests/test_shots.py) while
-        cutting detection cost ~N^2. More aggressive than PySceneDetect's
-        default because detection runs on a single host core here."""
-        return max(2, round(width / 100))
+        """Auto-downscale for content scoring, matching PySceneDetect's
+        ``compute_downscale_factor`` policy (effective width >= 256 px,
+        integer-strided subsampling — the same subsample PySceneDetect
+        applies). Round 1 targeted ~100 px effective width; that risked
+        flipping borderline low-contrast cuts vs the reference detector
+        (extractors.py:388-393 runs ContentDetector defaults), so the
+        policy now tracks the reference's. Full-res cut agreement is
+        pinned in tests/test_shots.py::test_downscale_cut_fidelity."""
+        return max(1, width // 256)
 
     def _stream_scaled_blocks(
         self, reader, scale: int, block: int = 512

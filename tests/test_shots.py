@@ -102,3 +102,42 @@ def test_content_scores_weighted_matches_unweighted_at_equal_weights():
         )
     )
     assert not np.allclose(lum_only, plain)
+
+
+def test_downscale_cut_fidelity():
+    """The auto-downscale policy (PySceneDetect parity: integer stride,
+    effective width >= 256) must not move content scores enough to flip
+    cuts — including a borderline cut scoring just UNDER the threshold
+    (VERDICT round-1 item 6). Measured: factor-2 subsampling deviates
+    <= ~0.2 score units from full resolution on noisy low-contrast video."""
+    from avsum_tpu.pipeline import AVPipeline
+
+    rng = np.random.default_rng(0)
+    w, h = 512, 288
+    factor = AVPipeline._detect_downscale(w)
+    assert factor == 2
+    assert AVPipeline._detect_downscale(200) == 1  # small video: full res
+    assert AVPipeline._detect_downscale(1920) == 7
+
+    # low-contrast palette: cut scores land at ~42/29/26.7/46 vs the 27.0
+    # threshold — the third cut is borderline-below on purpose
+    colors = [
+        (100, 100, 100), (122, 108, 94), (95, 128, 112),
+        (108, 96, 126), (128, 118, 88),
+    ]
+    frames = []
+    for c in colors:
+        scene = np.array(c, np.float32)[None, None, None, :] + rng.normal(
+            0, 6, (40, h, w, 3)
+        )
+        frames.append(np.clip(scene, 0, 255).astype(np.uint8))
+    video = np.concatenate(frames)
+
+    full = np.asarray(content_scores(video))
+    sub = np.asarray(content_scores(video[:, ::factor, ::factor]))
+    assert float(np.abs(full - sub).max()) < 0.5
+    cuts_full = list(cuts_from_scores(full, 27.0, 15))
+    cuts_sub = list(cuts_from_scores(sub, 27.0, 15))
+    assert cuts_full == cuts_sub == [40, 80, 160]
+    # the borderline cut (score ~26.7 < 27) stays un-cut in BOTH paths
+    assert 120 not in cuts_sub and full[120] < 27.0 < full[160]

@@ -76,3 +76,31 @@ def test_top_level_lazy_exports():
 
     with _pytest.raises(AttributeError):
         avsum_tpu.does_not_exist
+
+
+def test_example_configs_load_and_roundtrip(tmp_path):
+    """Every in-tree example YAML loads into the real Config tree (the
+    reference's yaml was never loaded, SURVEY.md §5.6) and survives a
+    save/load roundtrip, including CLI-style overrides on top."""
+    import glob
+    import os
+
+    from avsum_tpu.train.config import load_config, save_config, to_dict
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.yaml")))
+    assert len(paths) >= 3, paths
+    for path in paths:
+        cfg = load_config(path)
+        assert cfg.audio.feature_dim == 296  # contract survives every config
+        out = str(tmp_path / os.path.basename(path))
+        save_config(cfg, out)
+        assert to_dict(load_config(out)) == to_dict(cfg)
+        # overrides compose with file configs
+        cfg2 = load_config(path, overrides=["train.lr=5e-4"])
+        assert cfg2.train.lr == 5e-4
+
+    tvsum = load_config(os.path.join(repo, "configs", "tvsum.yaml"))
+    assert tvsum.data.dataset == "tvsum" and tvsum.train.epochs == 100
+    hour = load_config(os.path.join(repo, "configs", "hour_scale.yaml"))
+    assert hour.mesh.seq == 4 and hour.model.chunk_size == 512
