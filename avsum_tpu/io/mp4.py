@@ -24,7 +24,9 @@ import numpy as np
 __all__ = [
     "Mp4Error",
     "Mp4NoAudioTrack",
+    "Mp4NoVideoTrack",
     "Mp4UnsupportedCodec",
+    "Mp4VideoReader",
     "extract_audio",
     "load_mp4_audio_mono_16k",
 ]
@@ -36,6 +38,10 @@ class Mp4Error(RuntimeError):
 
 class Mp4NoAudioTrack(Mp4Error):
     """The container has no audio track at all."""
+
+
+class Mp4NoVideoTrack(Mp4Error):
+    """The container has no video track at all."""
 
 
 class Mp4UnsupportedCodec(Mp4Error):
@@ -169,7 +175,16 @@ def _parse_track(buf, trak_s: int, trak_e: int) -> Optional[_AudioTrack]:
     if track.sample_rate <= 0:
         track.sample_rate = float(timescale)
 
+    if not _parse_tables(buf, stbl, track):
+        return None
+    return track
+
+
+def _parse_tables(buf, stbl, track) -> bool:
+    """Fill sample_sizes / chunk_offsets / samples_per_chunk from stbl."""
     stsz = _find(buf, stbl[0], stbl[1], b"stsz")
+    if stsz is None:
+        return False
     _, _, pos = _full_box(buf, stsz[0])
     fixed_size, count = struct.unpack_from(">II", buf, pos)
     if fixed_size:
@@ -185,12 +200,14 @@ def _parse_track(buf, trak_s: int, trak_e: int) -> Optional[_AudioTrack]:
     else:
         co64 = _find(buf, stbl[0], stbl[1], b"co64")
         if co64 is None:
-            return None
+            return False
         _, _, pos = _full_box(buf, co64[0])
         n = struct.unpack_from(">I", buf, pos)[0]
         track.chunk_offsets = _read_u64s(buf, pos + 4, n)
 
     stsc = _find(buf, stbl[0], stbl[1], b"stsc")
+    if stsc is None:
+        return False
     _, _, pos = _full_box(buf, stsc[0])
     n_ent = struct.unpack_from(">I", buf, pos)[0]
     ent = _read_u32s(buf, pos + 4, n_ent * 3).reshape(n_ent, 3)
@@ -201,7 +218,25 @@ def _parse_track(buf, trak_s: int, trak_e: int) -> Optional[_AudioTrack]:
         last = int(ent[i + 1, 0]) - 1 if i + 1 < n_ent else n_chunks
         spc[first:last] = int(ent[i, 1])
     track.samples_per_chunk = spc
-    return track
+    return True
+
+
+def _sample_ranges(track) -> np.ndarray:
+    """[n_samples, 2] absolute (start, end) byte offsets per sample."""
+    sizes = track.sample_sizes
+    starts = np.zeros(len(sizes), np.int64)
+    si = 0
+    for ci, off in enumerate(track.chunk_offsets):
+        n = min(int(track.samples_per_chunk[ci]), len(sizes) - si)
+        if n <= 0:
+            break
+        csizes = sizes[si : si + n]
+        starts[si : si + n] = int(off) + np.concatenate(
+            [[0], np.cumsum(csizes[:-1])]
+        )
+        si += n
+    ends = starts + sizes
+    return np.stack([starts[:si], ends[:si]], axis=1) if si else np.zeros((0, 2), np.int64)
 
 
 def _gather_samples(buf, track: _AudioTrack) -> bytes:
@@ -218,6 +253,128 @@ def _gather_samples(buf, track: _AudioTrack) -> bytes:
         parts.append(bytes(buf[int(off) : int(off) + nbytes]))
         si += n
     return b"".join(parts)
+
+
+_JPEG_FOURCCS = {b"jpeg", b"mjpa", b"mjpb"}
+
+
+class _VideoTrack:
+    fourcc: bytes
+    width: int
+    height: int
+    fps: float
+    sample_sizes: np.ndarray
+    chunk_offsets: np.ndarray
+    samples_per_chunk: np.ndarray
+
+
+def _parse_video_track(buf, trak_s: int, trak_e: int) -> Optional[_VideoTrack]:
+    mdia = _find(buf, trak_s, trak_e, b"mdia")
+    if mdia is None:
+        return None
+    hdlr = _find(buf, mdia[0], mdia[1], b"hdlr")
+    if hdlr is None:
+        return None
+    _, _, hpos = _full_box(buf, hdlr[0])
+    if bytes(buf[hpos + 4 : hpos + 8]) != b"vide":
+        return None
+    stbl = _find_path(buf, mdia[0], mdia[1], [b"minf", b"stbl"])
+    if stbl is None:
+        return None
+    track = _VideoTrack()
+
+    stsd = _find(buf, stbl[0], stbl[1], b"stsd")
+    _, _, pos = _full_box(buf, stsd[0])
+    pos += 4  # entry_count
+    track.fourcc = bytes(buf[pos + 4 : pos + 8])
+    # VisualSampleEntry: +8 size/fourcc, +8 reserved/dref,
+    # +16 pre_defined/reserved -> width(2) height(2)
+    track.width = struct.unpack_from(">H", buf, pos + 32)[0]
+    track.height = struct.unpack_from(">H", buf, pos + 34)[0]
+
+    timescale = 0
+    mdhd = _find(buf, mdia[0], mdia[1], b"mdhd")
+    if mdhd is not None:
+        ver, _, mpos = _full_box(buf, mdhd[0])
+        timescale = struct.unpack_from(">I", buf, mpos + (16 if ver == 1 else 8))[0]
+    delta = 1
+    stts = _find(buf, stbl[0], stbl[1], b"stts")
+    if stts is not None:
+        _, _, tpos = _full_box(buf, stts[0])
+        n_ent = struct.unpack_from(">I", buf, tpos)[0]
+        if n_ent:
+            delta = struct.unpack_from(">II", buf, tpos + 4)[1] or 1
+    track.fps = (timescale / delta) if timescale else 30.0
+
+    if not _parse_tables(buf, stbl, track):
+        return None
+    return track
+
+
+class Mp4VideoReader:
+    """VideoReader over an MJPEG track in an MP4/MOV container.
+
+    Motion-JPEG samples are standalone JPEG images — decodable with
+    imageio/PIL alone, which makes this the container-video ingest path
+    available in a codec-less environment (H.264/HEVC tracks raise with
+    one-line transcode advice). The reference decoded via cv2/ffmpeg
+    (extractors.py:307-309)."""
+
+    def __init__(self, path: str):
+        import imageio.v3 as iio
+
+        self._iio = iio
+        self.path = path
+        self._fh = open(path, "rb")
+        size = os.fstat(self._fh.fileno()).st_size
+        self._buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        moov = _find(self._buf, 0, size, b"moov")
+        if moov is None:
+            raise Mp4Error(f"{path!r}: no moov box (not an MP4?)")
+        track = None
+        for t, s, e in _iter_boxes(self._buf, moov[0], moov[1]):
+            if t == b"trak":
+                track = _parse_video_track(self._buf, s, e)
+                if track is not None:
+                    break
+        if track is None:
+            raise Mp4NoVideoTrack(f"{path!r}: no video track in container")
+        if track.fourcc not in _JPEG_FOURCCS:
+            raise Mp4UnsupportedCodec(
+                f"{path!r}: video codec {track.fourcc!r} needs a decoder this "
+                "environment lacks — transcode once with "
+                "`ffmpeg -i in.mp4 -c:v mjpeg -q:v 3 -c:a pcm_s16le out.mov` "
+                "(or to .y4m + .wav)"
+            )
+        self._ranges = _sample_ranges(track)
+        self.width = track.width
+        self.height = track.height
+        self.fps = track.fps
+        self.n_frames = len(self._ranges)
+
+    def _decode(self, i: int) -> np.ndarray:
+        s, e = self._ranges[int(i)]
+        frame = self._iio.imread(bytes(self._buf[int(s) : int(e)]), extension=".jpg")
+        if frame.ndim == 2:
+            frame = np.repeat(frame[..., None], 3, axis=-1)
+        return frame[..., :3]
+
+    def read_frame(self, index: int) -> np.ndarray:
+        return self._decode(index)
+
+    def read_frames(self, indices) -> np.ndarray:
+        return np.stack([self._decode(i) for i in indices])
+
+    def iter_frames(self, start: int = 0, stop: Optional[int] = None):
+        stop = self.n_frames if stop is None else min(stop, self.n_frames)
+        for i in range(start, stop):
+            yield self._decode(i)
+
+    def close(self) -> None:
+        try:
+            self._buf.close()
+        finally:
+            self._fh.close()
 
 
 def extract_audio(path: str) -> Tuple[np.ndarray, int]:

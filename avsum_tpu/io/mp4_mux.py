@@ -1,0 +1,188 @@
+"""Minimal ISO-BMFF muxer: MJPEG video + PCM audio in one .mp4/.mov.
+
+Counterpart of :mod:`avsum_tpu.io.mp4`'s demuxer. Motion-JPEG + PCM is the
+codec pair this codec-less environment can both write AND read (each video
+sample is a standalone JPEG; audio is raw interleaved PCM), so container
+ingest can be exercised end-to-end without ffmpeg — the same container
+flow the reference drove through cv2/pydub (extractors.py:307-309,
+364-386).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["write_mjpeg_mp4"]
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, ver: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (ver << 24) | flags) + payload)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def _tkhd(track_id: int, duration: int, width: int = 0, height: int = 0,
+          volume: int = 0) -> bytes:
+    return _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, track_id, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, volume, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+
+
+def _stbl(stsd_entry: bytes, n_samples: int, delta: int,
+          stsc_entries: List[tuple], sample_sizes, chunk_offsets) -> bytes:
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n_samples, delta))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    if isinstance(sample_sizes, int):  # constant size
+        stsz = _full(b"stsz", 0, 0, struct.pack(">II", sample_sizes, n_samples))
+    else:
+        stsz = _full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n_samples)
+            + b"".join(struct.pack(">I", s) for s in sample_sizes),
+        )
+    stco = _full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+
+def _minf_dinf() -> bytes:
+    url = _full(b"url ", 0, 1, b"")
+    return _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1) + url))
+
+
+def _mdia(timescale: int, duration: int, handler: bytes, hname: bytes,
+          header_box: bytes, stbl: bytes) -> bytes:
+    mdhd = _full(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12 + hname + b"\x00")
+    minf = _box(b"minf", header_box + _minf_dinf() + stbl)
+    return _box(b"mdia", mdhd + hdlr + minf)
+
+
+def write_mjpeg_mp4(
+    path: str,
+    frames: np.ndarray,
+    fps: float = 30.0,
+    audio: Optional[np.ndarray] = None,
+    audio_rate: int = 16000,
+    quality: int = 92,
+) -> None:
+    """Write [T, H, W, 3] uint8 frames as an MJPEG track (+ optional mono/
+    stereo PCM ``audio`` in [-1, 1] float or int16) into one container."""
+    import imageio.v3 as iio
+
+    frames = np.asarray(frames)
+    t, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    jpegs = [
+        iio.imwrite("<bytes>", frames[i], extension=".jpg", quality=quality)
+        for i in range(t)
+    ]
+
+    pcm = b""
+    n_audio = 0
+    ch = 1
+    if audio is not None:
+        x = np.asarray(audio)
+        if x.ndim == 1:
+            x = x[:, None]
+        if x.dtype != np.int16:
+            x = (np.clip(np.asarray(x, np.float32), -1, 1) * 32767).astype(np.int16)
+        n_audio, ch = x.shape
+        pcm = x.astype("<i2").tobytes()
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    video_bytes = b"".join(jpegs)
+    mdat = _box(b"mdat", video_bytes + pcm)
+    video_base = len(ftyp) + 8
+    audio_base = video_base + len(video_bytes)
+
+    vts = max(1, round(fps * 1000))
+    vdelta = 1000
+    vdur = t * vdelta
+
+    # VisualSampleEntry for 'jpeg'
+    stsd_v = (
+        struct.pack(">I", 86) + b"jpeg"
+        + b"\x00" * 6 + struct.pack(">H", 1)        # reserved + dref index
+        + b"\x00" * 16                                # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x480000, 0x480000)      # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)                        # frame count
+        + b"\x00" * 32                                # compressor name
+        + struct.pack(">Hh", 24, -1)                  # depth, pre_defined
+    )
+    sizes = [len(j) for j in jpegs]
+    offsets = list(video_base + np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int64))
+    stbl_v = _stbl(stsd_v, t, vdelta, [(1, 1, 1)], sizes, [int(o) for o in offsets])
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    trak_v = _box(
+        b"trak",
+        _tkhd(1, vdur, width=w, height=h)
+        + _mdia(vts, vdur, b"vide", b"VideoHandler", vmhd, stbl_v),
+    )
+
+    traks = trak_v
+    if audio is not None and n_audio:
+        chunk_frames = 4096
+        frame_bytes = 2 * ch
+        n_chunks = max(1, -(-n_audio // chunk_frames))
+        a_offsets = [audio_base + i * chunk_frames * frame_bytes for i in range(n_chunks)]
+        last = n_audio - (n_chunks - 1) * chunk_frames
+        stsc_a = [(1, chunk_frames, 1)]
+        if n_chunks == 1:
+            stsc_a = [(1, n_audio, 1)]
+        elif last != chunk_frames:
+            stsc_a.append((n_chunks, last, 1))
+        stsd_a = (
+            struct.pack(">I", 36) + b"sowt"
+            + b"\x00" * 6 + struct.pack(">H", 1)
+            + struct.pack(">HH", 0, 0) + b"\x00" * 4
+            + struct.pack(">HH", ch, 16)
+            + struct.pack(">HH", 0, 0)
+            + struct.pack(">I", audio_rate << 16)
+        )
+        stbl_a = _stbl(stsd_a, n_audio, 1, stsc_a, frame_bytes, a_offsets)
+        smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        trak_a = _box(
+            b"trak",
+            _tkhd(2, n_audio, volume=0x0100)
+            + _mdia(audio_rate, n_audio, b"soun", b"SoundHandler", smhd, stbl_a),
+        )
+        traks += trak_a
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, int(round(t / fps * 1000)))
+        + struct.pack(">IH", 0x10000, 0x0100) + b"\x00" * 10
+        + _UNITY_MATRIX
+        + b"\x00" * 24 + struct.pack(">I", 3),
+    )
+    moov = _box(b"moov", mvhd + traks)
+    with open(path, "wb") as fh:
+        fh.write(ftyp + mdat + moov)

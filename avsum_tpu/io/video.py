@@ -96,12 +96,22 @@ def open_video(path: str, prefer_native: bool = True) -> VideoReader:
             except Exception:
                 pass
         return Y4MReader(path)
+    if ext in (".mp4", ".mov", ".m4v"):
+        from avsum_tpu.io.mp4 import Mp4Error, Mp4UnsupportedCodec, Mp4VideoReader
+
+        try:
+            return Mp4VideoReader(path)
+        except Mp4UnsupportedCodec:
+            raise  # clear transcode advice; don't mask with the fallback
+        except Mp4Error:
+            pass  # no/odd video track: give imageio a chance below
     try:
         return _ImageioReader(path)
     except Exception as e:
         raise RuntimeError(
             f"cannot decode {path!r}: no decoder for {ext} in this environment "
-            "(y4m is always supported; mp4 needs an imageio/ffmpeg plugin)"
+            "(y4m and MJPEG mp4/mov are always supported; other codecs need "
+            "an imageio/ffmpeg plugin or a one-time transcode)"
         ) from e
 
 

@@ -123,3 +123,90 @@ def test_pipeline_errors_on_missing_sidecar_for_y4m(tmp_path):
     cfg = load_config(overrides=["audio.silence_fallback=true"])
     out = _load_audio(cfg, video, duration=1.5)
     assert out.shape == (24000,) and np.all(out == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG video track: in-container video ingest
+# ---------------------------------------------------------------------------
+
+
+def _mjpeg_file(tmp_path, name="clip.mp4", n_scenes=4, fps=25.0, with_audio=True):
+    from avsum_tpu.io.mp4_mux import write_mjpeg_mp4
+    from avsum_tpu.io.synthetic import make_scene_video
+
+    video, audio, scenes = make_scene_video(
+        n_scenes=n_scenes, seed=3, height=72, width=96, fps=fps
+    )
+    path = str(tmp_path / name)
+    write_mjpeg_mp4(
+        path, video, fps=fps, audio=audio if with_audio else None, audio_rate=16000
+    )
+    return path, video, audio, scenes
+
+
+def test_mjpeg_reader_roundtrip(tmp_path):
+    from avsum_tpu.io.mp4 import Mp4VideoReader
+    from avsum_tpu.io.video import open_video
+
+    path, video, audio, _ = _mjpeg_file(tmp_path)
+    r = open_video(path)
+    assert isinstance(r, Mp4VideoReader)
+    assert (r.width, r.height, r.n_frames) == (96, 72, len(video))
+    assert r.fps == pytest.approx(25.0)
+    # lossy but close (synthetic scenes are smooth; JPEG err is small)
+    f0 = r.read_frame(0).astype(np.float32)
+    assert np.abs(f0 - video[0].astype(np.float32)).mean() < 6.0
+    batch = r.read_frames([0, 7, r.n_frames - 1])
+    assert batch.shape == (3, 72, 96, 3)
+    it = list(r.iter_frames(stop=5))
+    np.testing.assert_array_equal(it[0], r.read_frame(0))
+    r.close()
+    # the container's PCM track is reachable from the same file
+    samples, rate = extract_audio(path)
+    assert rate == 16000
+    np.testing.assert_allclose(
+        samples[:, 0], np.clip(audio, -1, 1), atol=2 / 32768
+    )
+
+
+def test_unsupported_video_codec_advice(tmp_path):
+    from avsum_tpu.io.mp4 import Mp4UnsupportedCodec
+    from avsum_tpu.io.video import open_video
+
+    path, *_ = _mjpeg_file(tmp_path, name="h264ish.mp4", n_scenes=2)
+    data = bytearray(open(path, "rb").read())
+    idx = data.find(b"jpeg", data.find(b"moov"))  # the stsd fourcc
+    data[idx : idx + 4] = b"avc1"
+    bad = str(tmp_path / "h264.mp4")
+    with open(bad, "wb") as fh:
+        fh.write(bytes(data))
+    with pytest.raises(Mp4UnsupportedCodec, match="transcode"):
+        open_video(bad)
+
+
+def test_pipeline_end_to_end_on_mp4_container(tmp_path):
+    """The reference's whole flow on an actual .mp4 — video AND audio from
+    the container, no sidecar (extractors.py:298-362 parity)."""
+    from avsum_tpu.pipeline import AVPipeline
+    from avsum_tpu.train.config import load_config
+
+    path, video, audio, scenes = _mjpeg_file(tmp_path, n_scenes=4)
+    cfg = load_config(
+        overrides=[
+            "visual.backbone=resnet50",
+            "visual.sample_fps=2.0",
+            "visual.max_frames_per_shot=8",
+        ]
+    )
+    pipe = AVPipeline(cfg)
+    p = pipe.process_video(path)
+    assert p.visual.shape[1] == cfg.visual.feature_dim
+    assert p.audio.shape[1] == 296
+    assert len(p.boundaries) == len(p.visual) == len(p.audio)
+    assert p.fps == pytest.approx(25.0) and p.n_frames == len(video)
+    # shot detection found the scene structure from the JPEG frames
+    true_cuts = {start for start, _ in scenes[1:]}
+    found = {int(b[0]) for b in p.boundaries[1:]}
+    assert sum(any(abs(c - f) <= 2 for f in found) for c in true_cuts) >= len(true_cuts) - 1
+    # audio features are non-silent (the real soundtrack was demuxed)
+    assert float(np.abs(p.audio[:, 40:168]).sum()) > 0
