@@ -78,6 +78,17 @@ def _load():
                 ctypes.c_void_p,
                 ctypes.c_void_p,
             ]
+            lib.avsumio_y4m_read_yuv_resized.restype = ctypes.c_int
+            lib.avsumio_y4m_read_yuv_resized.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long,
+                ctypes.c_int,  # out_w
+                ctypes.c_int,  # out_h
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
             lib.avsumio_content_scores.restype = ctypes.c_int
             lib.avsumio_content_scores.argtypes = [
                 ctypes.c_void_p,
@@ -165,6 +176,30 @@ class NativeY4MReader:
         )
         if rc != 0:
             raise IOError(f"avsumio yuv read failed rc={rc}")
+        return y, u, v
+
+    def read_yuv420_resized(self, indices, out_w: int, out_h: int):
+        """YUV420 planes bilinearly resized ON HOST to (out_h, out_w) before
+        the slow host->device link. The backbones resize to 224/299 anyway,
+        so shipping ~304x304 instead of full frames cuts transferred bytes
+        by the area ratio at equal model input quality. out dims even."""
+        idx = np.ascontiguousarray(np.asarray(indices, np.int64))
+        n = len(idx)
+        y = np.empty((n, out_h, out_w), np.uint8)
+        u = np.empty((n, out_h // 2, out_w // 2), np.uint8)
+        v = np.empty((n, out_h // 2, out_w // 2), np.uint8)
+        rc = self._lib.avsumio_y4m_read_yuv_resized(
+            self._handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            n,
+            out_w,
+            out_h,
+            y.ctypes.data_as(ctypes.c_void_p),
+            u.ctypes.data_as(ctypes.c_void_p),
+            v.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise IOError(f"avsumio yuv resized read failed rc={rc}")
         return y, u, v
 
     def content_scores(

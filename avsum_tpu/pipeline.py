@@ -107,6 +107,19 @@ class AVPipeline:
         else:
             yield from self._stream_blocks(reader, block)
 
+    def _read_yuv(self, reader, idx):
+        """Read sampled frames as YUV420 planes, host-resized to
+        visual.ship_size when the source is larger (fewer bytes over the
+        link; the backbones resize to 224/299 on device regardless)."""
+        ship = self.config.visual.ship_size
+        if (
+            ship
+            and hasattr(reader, "read_yuv420_resized")
+            and reader.width * reader.height > ship * ship
+        ):
+            return reader.read_yuv420_resized(idx, ship, ship)
+        return reader.read_yuv420(idx)
+
     def _load_audio(self, video_path: str, duration_s: float) -> np.ndarray:
         """Soundtrack resolution order (extractors.py:364-386 parity):
         <stem>.wav sidecar, then the container's own audio track (PCM mp4
@@ -165,13 +178,17 @@ class AVPipeline:
                 scale = self._detect_downscale(reader.width)
                 if hasattr(reader, "content_scores"):
                     # native host-side path: zero bytes cross the host->TPU
-                    # link for detection
+                    # link for detection; hierarchical two-pass scoring
+                    # (exact cuts at ~1/5 the cost of a full fine pass)
                     from avsum_tpu.temporal.shots import (
                         boundaries_from_cuts,
                         cuts_from_scores,
+                        refined_content_scores,
                     )
 
-                    scores = reader.content_scores(scale=scale)
+                    scores = refined_content_scores(
+                        reader, scale, self.detector.threshold
+                    )
                     cuts = cuts_from_scores(
                         scores, self.detector.threshold, self.detector.min_scene_len
                     )
@@ -199,7 +216,7 @@ class AVPipeline:
                 if hasattr(reader, "read_yuv420"):
                     # ship raw YUV420 planes (half the bytes of RGB) and
                     # convert on device
-                    yuv = reader.read_yuv420(frame_idx)
+                    yuv = self._read_yuv(reader, frame_idx)
                     visual = self.visual.shot_features(
                         None, shot_ids, len(boundaries), yuv=yuv
                     )
@@ -236,7 +253,11 @@ class AVPipeline:
         """
         import threading
 
-        from avsum_tpu.temporal.shots import boundaries_from_cuts, cuts_from_scores
+        from avsum_tpu.temporal.shots import (
+            boundaries_from_cuts,
+            cuts_from_scores,
+            refined_content_scores,
+        )
 
         fps, n_frames = reader.fps, reader.n_frames
         stride = max(1, round(fps / self.config.visual.sample_fps))
@@ -248,7 +269,9 @@ class AVPipeline:
         host_work: Dict = {}
 
         def _detect():
-            host_work["scores"] = reader.content_scores(scale=scale)
+            host_work["scores"] = refined_content_scores(
+                reader, scale, self.detector.threshold
+            )
 
         def _wav():
             try:
@@ -262,7 +285,7 @@ class AVPipeline:
         wav_thread.start()
 
         with annotate("avsum.visual_dispatch"):
-            yuv = reader.read_yuv420(frame_idx)
+            yuv = self._read_yuv(reader, frame_idx)
             pending, nf = self.visual.dispatch_yuv(*yuv)  # async on device
 
         with annotate("avsum.audio_dispatch"):
@@ -302,7 +325,7 @@ class AVPipeline:
             missing = counts <= 0
             if missing.any():
                 extra_idx = boundaries[missing, 0]
-                extra_yuv = reader.read_yuv420(extra_idx)
+                extra_yuv = self._read_yuv(reader, extra_idx)
                 visual[missing] = self.visual.frame_features_yuv(*extra_yuv)
 
         with annotate("avsum.audio_pool"):

@@ -140,3 +140,48 @@ def detect_shots_streaming(
     scores = np.concatenate(all_scores)
     cuts = cuts_from_scores(scores, config.threshold, config.min_scene_len)
     return boundaries_from_cuts(cuts, total), total
+
+
+def refined_content_scores(
+    reader,
+    fine_scale: int,
+    threshold: float = DEFAULT_THRESHOLD,
+    coarse_mult: int = 3,
+    margin: float = 4.0,
+) -> np.ndarray:
+    """Hierarchical two-pass content scoring over a native reader.
+
+    The exact (fine-scale) score of every frame is only *needed* where the
+    threshold decision could change. Pass 1 scores the whole video at
+    ``fine_scale * coarse_mult`` (~coarse_mult^2 x cheaper); pass 2
+    re-scores, at ``fine_scale``, only the frames whose coarse score lands
+    within ``margin`` of the threshold or above it. Coarse-vs-fine score
+    deviation measured on noisy 640x360 synthetic content: max 0.87 at
+    3x coarser, so margin=4 bounds it ~4.6x over — the returned cut
+    decisions are identical to a full fine-scale pass (pinned in
+    tests/test_shots.py::test_refined_scores_cut_exact).
+
+    ``reader`` needs the native ``content_scores(start, stop, scale)``
+    surface (avsumio). Returns the hybrid score vector: exact fine scores
+    at every frame that matters, coarse elsewhere (all sub-threshold).
+    """
+    coarse = np.asarray(
+        reader.content_scores(scale=fine_scale * coarse_mult), np.float32
+    ).copy()
+    n = len(coarse)
+    if n == 0:
+        return coarse
+    cand = np.nonzero(coarse >= threshold - margin)[0]
+    cand = cand[cand > 0]
+    if len(cand) == 0:
+        return coarse
+    # contiguous candidate runs -> one fine window each (amortizes decode)
+    splits = np.nonzero(np.diff(cand) > 1)[0] + 1
+    for run in np.split(cand, splits):
+        a, b = int(run[0]), int(run[-1])
+        # scores for frames a..b need frames a-1..b decoded at fine scale
+        w = np.asarray(
+            reader.content_scores(start=a - 1, stop=b + 1, scale=fine_scale)
+        )
+        coarse[a : b + 1] = w[1:]
+    return coarse

@@ -71,6 +71,11 @@ class VisualFeatConfig:
     sample_fps: float = 2.0
     frame_stride: int = 3  # reference: every 3rd frame (extractors.py:399)
     max_frames_per_shot: int = 96  # reference caps at 100; 96 = multiple of 8
+    # host-side bilinear pre-resize (square, even) before frames cross the
+    # host->device link; 0 disables. The backbones resize to 224/299 anyway,
+    # so 304 ships ~2.5x fewer bytes from 640x360 sources at equal model
+    # input quality. Only applied when the source is LARGER than this.
+    ship_size: int = 304
     backbone: str = "dual"  # dual (resnet50+inceptionv3) | resnet50 | vit
     feature_dim: int = 4096  # 2048 + 2048 concat contract (extractors.py:108)
     dtype: str = "bfloat16"

@@ -382,6 +382,85 @@ int avsumio_y4m_read_yuv(void* handle, const long* indices, long count,
   return 0;
 }
 
+// Bilinear plane resize, half-pixel-centers convention (matches
+// jax.image.resize(method="bilinear")), 8.8 fixed point weights.
+static void build_resize_lut(int src, int dst, std::vector<int>& i0,
+                             std::vector<int>& i1, std::vector<int>& w) {
+  i0.resize(dst);
+  i1.resize(dst);
+  w.resize(dst);
+  for (int x = 0; x < dst; ++x) {
+    float sx = (x + 0.5f) * (float)src / (float)dst - 0.5f;
+    if (sx < 0.f) sx = 0.f;
+    int a = (int)sx;
+    if (a > src - 1) a = src - 1;
+    int b = a + 1 < src ? a + 1 : src - 1;
+    i0[x] = a;
+    i1[x] = b;
+    w[x] = (int)((sx - (float)a) * 256.0f + 0.5f);
+  }
+}
+
+static void resize_plane(const uint8_t* src, int sw, uint8_t* dst, int dw,
+                         int dh, const std::vector<int>& x0,
+                         const std::vector<int>& x1, const std::vector<int>& xw,
+                         const std::vector<int>& y0, const std::vector<int>& y1,
+                         const std::vector<int>& yw) {
+  for (int y = 0; y < dh; ++y) {
+    const uint8_t* r0 = src + (size_t)y0[y] * sw;
+    const uint8_t* r1 = src + (size_t)y1[y] * sw;
+    int wy = yw[y];
+    uint8_t* o = dst + (size_t)y * dw;
+    for (int x = 0; x < dw; ++x) {
+      int wx = xw[x];
+      int a = r0[x0[x]] * (256 - wx) + r0[x1[x]] * wx;
+      int b = r1[x0[x]] * (256 - wx) + r1[x1[x]] * wx;
+      o[x] = (uint8_t)((a * (256 - wy) + b * wy + 32768) >> 16);
+    }
+  }
+}
+
+// Resized YUV420 plane extraction: bilinear host resize to (out_w, out_h)
+// BEFORE the host->TPU link — the backbones resize to 224/299 anyway, so
+// shipping ~304x304 planes instead of full frames cuts transferred bytes
+// by the source/target area ratio with no information the model would use.
+// out_w/out_h must be even. Buffers: y [count,out_h,out_w],
+// u/v [count,out_h/2,out_w/2].
+int avsumio_y4m_read_yuv_resized(void* handle, const long* indices, long count,
+                                 int out_w, int out_h, void* y_out,
+                                 void* u_out, void* v_out) {
+  Y4M* r = (Y4M*)handle;
+  if (r->chroma_div_h != 2 || r->chroma_div_w != 2) return -3;  // C420 only
+  if (out_w < 2 || out_h < 2 || (out_w % 2) || (out_h % 2)) return -2;
+  int cw = r->width / 2, chh = r->height / 2;
+  int ocw = out_w / 2, och = out_h / 2;
+  std::vector<int> yx0, yx1, yxw, yy0, yy1, yyw;
+  std::vector<int> cx0, cx1, cxw, cy0, cy1, cyw;
+  build_resize_lut(r->width, out_w, yx0, yx1, yxw);
+  build_resize_lut(r->height, out_h, yy0, yy1, yyw);
+  build_resize_lut(cw, ocw, cx0, cx1, cxw);
+  build_resize_lut(chh, och, cy0, cy1, cyw);
+  const size_t oy = (size_t)out_w * out_h, oc = (size_t)ocw * och;
+  uint8_t* yd = (uint8_t*)y_out;
+  uint8_t* ud = (uint8_t*)u_out;
+  uint8_t* vd = (uint8_t*)v_out;
+  for (long i = 0; i < count; ++i) {
+    long idx = indices[i];
+    if (idx < 0 || idx >= r->n_frames) return -1;
+    const uint8_t* frame =
+        r->map + r->data_start + (size_t)idx * r->frame_bytes;
+    const uint8_t* nl = (const uint8_t*)memchr(frame, '\n', r->frame_bytes);
+    const uint8_t* yp = nl + 1;
+    resize_plane(yp, r->width, yd + i * oy, out_w, out_h, yx0, yx1, yxw,
+                 yy0, yy1, yyw);
+    resize_plane(yp + r->ysize, cw, ud + i * oc, ocw, och, cx0, cx1, cxw,
+                 cy0, cy1, cyw);
+    resize_plane(yp + r->ysize + r->csize, cw, vd + i * oc, ocw, och, cx0,
+                 cx1, cxw, cy0, cy1, cyw);
+  }
+  return 0;
+}
+
 int avsumio_prefetch_start(void* handle, long block_frames, long start,
                            long stop, long stride) {
   Y4M* r = (Y4M*)handle;

@@ -134,3 +134,69 @@ def test_pool_on_device_matches_host_pooling():
     expect /= np.maximum(cnt, 1.0)[:, None]
     np.testing.assert_allclose(pooled, expect, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(counts, cnt, atol=1e-6)
+
+
+def test_native_resized_yuv_read_matches_bilinear(tmp_path):
+    """Host-side pre-resize (ship_size): the C++ 2-tap bilinear (half-pixel
+    centers, cv2.INTER_LINEAR semantics — what the reference's resize used)
+    must match a numpy reference within fixed-point rounding."""
+    from avsum_tpu.io.native import NativeY4MReader, native_available
+    from avsum_tpu.io.synthetic import make_scene_video
+    from avsum_tpu.io.y4m import write_y4m
+
+    if not native_available():
+        pytest.skip("native library not built")
+
+    def bilinear(plane, dh, dw):
+        sh, sw = plane.shape
+        sy = np.clip((np.arange(dh) + 0.5) * sh / dh - 0.5, 0, None)
+        sx = np.clip((np.arange(dw) + 0.5) * sw / dw - 0.5, 0, None)
+        y0 = np.minimum(sy.astype(int), sh - 1); y1 = np.minimum(y0 + 1, sh - 1)
+        x0 = np.minimum(sx.astype(int), sw - 1); x1 = np.minimum(x0 + 1, sw - 1)
+        wy = (sy - y0)[:, None]; wx = (sx - x0)[None, :]
+        p = plane.astype(np.float32)
+        top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+        bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+        return top * (1 - wy) + bot * wy
+
+    video, _, _ = make_scene_video(n_scenes=2, seed=1, height=90, width=160)
+    path = str(tmp_path / "r.y4m")
+    write_y4m(path, video[:6], fps=30.0)
+    r = NativeY4MReader(path)
+    y, u, v = r.read_yuv420_resized([0, 3], 64, 48)
+    assert y.shape == (2, 48, 64) and u.shape == (2, 24, 32)
+    yf, uf, vf = r.read_yuv420([0, 3])
+    for got, full, (dh, dw) in [(y, yf, (48, 64)), (u, uf, (24, 32)), (v, vf, (24, 32))]:
+        for i in range(2):
+            ref = bilinear(full[i], dh, dw)
+            assert np.abs(got[i].astype(np.float32) - ref).max() <= 1.5
+    r.close()
+
+
+def test_refined_scores_cut_exact(tmp_path):
+    """Hierarchical two-pass detection returns the SAME cuts as a full
+    fine-scale pass (the coarse pass only skips provably sub-threshold
+    frames)."""
+    from avsum_tpu.io.native import NativeY4MReader, native_available
+    from avsum_tpu.io.synthetic import make_scene_video
+    from avsum_tpu.io.y4m import write_y4m
+    from avsum_tpu.temporal.shots import cuts_from_scores, refined_content_scores
+
+    if not native_available():
+        pytest.skip("native library not built")
+
+    video, _, scenes = make_scene_video(
+        n_scenes=6, seed=11, height=144, width=256, scene_len_frames=(24, 60)
+    )
+    path = str(tmp_path / "h.y4m")
+    write_y4m(path, video, fps=30.0)
+    r = NativeY4MReader(path)
+    fine = np.asarray(r.content_scores(scale=1))
+    hybrid = refined_content_scores(r, fine_scale=1, threshold=27.0)
+    cuts_fine = list(cuts_from_scores(fine, 27.0, 15))
+    cuts_hybrid = list(cuts_from_scores(hybrid, 27.0, 15))
+    assert cuts_fine == cuts_hybrid and len(cuts_fine) >= 4
+    # frames that were fine-rescored match the fine pass exactly
+    refreshed = np.abs(hybrid - fine) < 1e-5
+    assert refreshed[np.asarray(fine) > 27.0].all()
+    r.close()
