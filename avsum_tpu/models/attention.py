@@ -103,6 +103,11 @@ class MultiHeadSelfAttention(nn.Module):
         )(x)  # [B,S,3,H,D]
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,S,H,D]
 
+        # the flash kernel pads S up to its 512-token blocks; below that the
+        # XLA attention is strictly cheaper (and was measured faster until
+        # S ~ 7k), so short sequences always take the XLA path
+        use_pallas = self.use_pallas and s >= 512
+
         if self.ring_mesh is not None:
             from avsum_tpu.parallel.mesh import AXIS_DATA, AXIS_SEQ
             from avsum_tpu.parallel.ring import ring_attention
@@ -111,7 +116,7 @@ class MultiHeadSelfAttention(nn.Module):
                 q, k, v, self.ring_mesh, mask=mask,
                 axis_name=AXIS_SEQ, batch_axis=AXIS_DATA,
             ).astype(self.dtype)
-        elif self.use_pallas:
+        elif use_pallas:
             from avsum_tpu.ops import flash_attention
 
             ctx = flash_attention(q, k, v, mask=mask)

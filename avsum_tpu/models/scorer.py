@@ -84,6 +84,7 @@ class AVScorer(nn.Module):
                 dtype=dtype,
                 use_pallas=use_pallas,
                 ring_mesh=self._ring_mesh(),
+                remat=cfg.remat,
                 name=name,
             )
         if kind == "tcn":

@@ -142,14 +142,20 @@ class AttentionEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     ring_mesh: object = None
+    remat: bool = False  # jax.checkpoint each block (hour-scale training)
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         b, s, f = x.shape
         pos = sinusoidal_positions(s, f, x.dtype)
         x = x + pos[None]
+        block_cls = (
+            nn.remat(AttentionBlock, static_argnums=(3,))
+            if self.remat
+            else AttentionBlock
+        )
         for i in range(self.num_layers):
-            x = AttentionBlock(
+            x = block_cls(
                 self.hidden,
                 self.num_heads,
                 self.dropout,

@@ -97,6 +97,10 @@ class ModelConfig:
     # (on for TPU backends). Training always uses the XLA attention (the
     # kernel is forward-only; XLA autodiffs its own attention).
     use_pallas: Optional[bool] = None
+    # rematerialize attention blocks in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward for not materializing per-block activations —
+    # the standard HBM lever for hour-scale (S~7200) training
+    remat: bool = False
     dtype: str = "float32"
 
 

@@ -110,3 +110,38 @@ def test_default_config_parameter_shapes():
     assert params["audio_fc"]["Dense_0"]["kernel"].shape == (296, 512)
     assert params["scorer_hidden"]["kernel"].shape == (1024, 64)
     assert params["scorer_out"]["kernel"].shape == (64, 1)
+
+
+def test_remat_matches_no_remat():
+    """model.remat=true (jax.checkpoint around attention blocks) must be a
+    pure memory/compute trade: identical outputs AND gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from avsum_tpu.models import make_model
+    from avsum_tpu.train.config import ModelConfig
+
+    rng = np.random.default_rng(2)
+    visual = rng.standard_normal((2, 10, 48)).astype(np.float32)
+    audio = rng.standard_normal((2, 10, 24)).astype(np.float32)
+    mask = np.ones((2, 10), np.float32)
+
+    base = dict(visual_dim=48, audio_dim=24, hidden_dim=32, scorer_hidden=8,
+                num_heads=2, dropout=0.0)
+    m0 = make_model(ModelConfig(**base, remat=False))
+    m1 = make_model(ModelConfig(**base, remat=True))
+    params = m0.init(jax.random.PRNGKey(0), visual, audio, mask)["params"]
+
+    s0 = np.asarray(m0.apply({"params": params}, visual, audio, mask))
+    s1 = np.asarray(m1.apply({"params": params}, visual, audio, mask))
+    np.testing.assert_allclose(s0, s1, atol=1e-6)
+
+    def loss(m):
+        return lambda p: jnp.mean(
+            (m.apply({"params": p}, visual, audio, mask) - 0.5) ** 2
+        )
+
+    g0 = jax.grad(loss(m0))(params)
+    g1 = jax.grad(loss(m1))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -61,12 +61,14 @@ def test_audio_frontend_warns_on_unsatisfiable_explicit_flag():
 
 @pytest.fixture(scope="module")
 def tiny_inputs():
+    # S >= 512: the flash kernel only dispatches for long sequences (short
+    # ones are strictly cheaper on the XLA path)
     rng = np.random.default_rng(1)
-    b, s = 2, 12
+    b, s = 1, 520
     visual = rng.standard_normal((b, s, 64)).astype(np.float32)
     audio = rng.standard_normal((b, s, 32)).astype(np.float32)
     mask = np.ones((b, s), np.float32)
-    mask[1, 9:] = 0.0
+    mask[0, 500:] = 0.0
     return visual, audio, mask
 
 
@@ -90,7 +92,7 @@ def test_scorer_pallas_inference_matches_xla(tiny_inputs):
     s_on = np.asarray(m_on.apply({"params": params}, visual, audio, mask))
     np.testing.assert_allclose(s_off, s_on, rtol=2e-4, atol=2e-4)
     # padded positions still masked out
-    assert np.all(s_on[1, 9:] == 0.0)
+    assert np.all(s_on[0, 500:] == 0.0)
 
 
 def test_scorer_pallas_flag_does_not_break_training_grad(tiny_inputs):
@@ -112,3 +114,31 @@ def test_scorer_pallas_flag_does_not_break_training_grad(tiny_inputs):
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
     assert any(float(np.abs(np.asarray(g)).sum()) > 0 for g in flat)
+
+
+def test_scorer_flash_dispatch_rule(monkeypatch, tiny_inputs):
+    """Flash dispatches for long sequences only: the kernel pads S to its
+    512 blocks, so short videos stay on the (cheaper) XLA attention."""
+    import avsum_tpu.ops as ops
+
+    calls = []
+    orig = ops.flash_attention
+
+    def spy(q, k, v, mask=None):
+        calls.append(tuple(q.shape))
+        return orig(q, k, v, mask=mask)
+
+    monkeypatch.setattr(ops, "flash_attention", spy)
+    rng = jax.random.PRNGKey(0)
+    model = _tiny_model(True)
+
+    visual, audio, mask = tiny_inputs  # S=520 -> dispatches
+    params = model.init(rng, visual, audio, mask)["params"]
+    calls.clear()
+    model.apply({"params": params}, visual, audio, mask)
+    assert calls, "flash attention not dispatched for S>=512"
+
+    calls.clear()
+    short = (visual[:, :16], audio[:, :16], mask[:, :16])
+    model.apply({"params": params}, *short)
+    assert not calls, "flash attention dispatched for a short sequence"
