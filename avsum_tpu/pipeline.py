@@ -285,8 +285,17 @@ class AVPipeline:
         wav_thread.start()
 
         with annotate("avsum.visual_dispatch"):
-            yuv = self._read_yuv(reader, frame_idx)
-            pending, nf = self.visual.dispatch_yuv(*yuv)  # async on device
+            # block-streamed dispatch: decode/resize block i+1 on host while
+            # the device consumes block i (enqueued async). Host memory stays
+            # bounded at one block of planes regardless of video length
+            # (ROADMAP round-1 deferral 6: true streaming hour-scale ingest).
+            bs = self.visual.batch_size
+            pending = []
+            for i in range(0, len(frame_idx), bs):
+                yuv = self._read_yuv(reader, frame_idx[i : i + bs])
+                block_pending, _ = self.visual.dispatch_yuv(*yuv)
+                pending.extend(block_pending)
+            nf = len(frame_idx)
 
         with annotate("avsum.audio_dispatch"):
             wav_thread.join()

@@ -157,3 +157,31 @@ def test_score_video_covers_all_shots_past_bucket():
     np.testing.assert_allclose(
         scores, np.asarray(out["preds"])[0, : long_ex.n_shots], atol=1e-6
     )
+
+
+def test_hour_scale_training_config_steps():
+    """BASELINE config 5 viability: a long-sequence (hour-scale shaped)
+    train step with chunked attention + remat runs and learns. (Full
+    S=7200 runs on real HBM; the shape contract is what's under test.)"""
+    cfg = ModelConfig(
+        visual_dim=48, audio_dim=24, hidden_dim=32, scorer_hidden=16,
+        num_heads=2, dropout=0.1, chunk_size=256, remat=True,
+    )
+    model = make_model(cfg)
+    s = 1024
+    rng = np.random.default_rng(4)
+    batch = {
+        "visual": rng.standard_normal((1, s, 48)).astype(np.float32),
+        "audio": rng.standard_normal((1, s, 24)).astype(np.float32),
+        "targets": (rng.random((1, s)) > 0.5).astype(np.float32),
+        "mask": np.ones((1, s), np.float32),
+    }
+    state = create_train_state(model, TrainConfig(lr=3e-3, warmup_steps=2),
+                               batch, total_steps=20)
+    step = make_train_step(model, mesh=None, seed=0)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
