@@ -109,12 +109,12 @@ class AVScorer(nn.Module):
         dtype = _DTYPES[cfg.dtype]
         assert visual.ndim == 3 and audio.ndim == 3, "expect [B,S,D] inputs"
 
-        # Flash-attention dispatch: only at inference (deterministic=True) —
-        # the Pallas kernel is forward-only, training autodiffs the XLA
-        # attention with identical math (golden-tested equivalence).
+        # Flash-attention dispatch (inference AND training — the kernel has
+        # a custom-VJP flash backward, so no [S,S] matrix materializes in
+        # either direction; golden-tested against the XLA path both ways).
         from avsum_tpu.ops import pallas_enabled
 
-        use_pallas = bool(deterministic) and pallas_enabled(cfg.use_pallas)
+        use_pallas = pallas_enabled(cfg.use_pallas)
 
         v = ModalityMLP(cfg.hidden_dim, cfg.dropout, dtype, name="visual_fc")(
             visual.astype(dtype), deterministic

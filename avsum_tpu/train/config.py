@@ -93,9 +93,9 @@ class ModelConfig:
     temporal_layers: int = 2
     fusion: str = "self"  # self (MHSA over concat) | cross (co-attention)
     chunk_size: int = 0  # 0 = full attention; >0 = blockwise/chunked
-    # flash-attention Pallas kernel for inference attention: None = auto
-    # (on for TPU backends). Training always uses the XLA attention (the
-    # kernel is forward-only; XLA autodiffs its own attention).
+    # flash-attention Pallas kernel (fwd + custom-VJP flash backward, so
+    # training never materializes [S,S] either): None = auto (on for TPU
+    # backends, sequences >= 512; shorter ones take the XLA attention)
     use_pallas: Optional[bool] = None
     # rematerialize attention blocks in the backward pass (jax.checkpoint):
     # trades ~1 extra forward for not materializing per-block activations —

@@ -1,6 +1,7 @@
 """Flash attention kernel vs XLA reference (interpret mode on CPU)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -84,3 +85,61 @@ def test_mhsa_pallas_path_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out_pal), np.asarray(out_xla), rtol=2e-4, atol=2e-4
     )
+
+
+def test_flash_backward_matches_reference_grads():
+    """Custom-VJP flash backward (dQ/dK/dV kernels) vs jax.grad of the XLA
+    reference — with a padding mask, odd S (internal padding), multi-head."""
+    from avsum_tpu.ops.attention import flash_attention, reference_attention
+
+    rng = np.random.default_rng(7)
+    b, s, h, d = 2, 70, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    mask = np.ones((b, s), np.float32)
+    mask[1, 50:] = 0.0
+    cot = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    # zero the cotangent at padded queries (the model masks outputs there)
+    cot = cot * jnp.asarray(mask)[:, :, None, None]
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, mask=mask, block_q=32, block_k=32, interpret=True
+        )
+        return jnp.sum(out * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, mask=mask) * cot)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_backward_value_and_grad_jit():
+    """value_and_grad under jit through the flash custom VJP."""
+    from avsum_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(8)
+    b, s, h, d = 1, 64, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    @jax.jit
+    def loss(q, k, v):
+        return jnp.mean(
+            flash_attention(q, k, v, block_q=32, block_k=32, interpret=True)
+            ** 2
+        )
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert np.isfinite(float(val))
+    for g in grads:
+        arr = np.asarray(g)
+        assert np.isfinite(arr).all() and np.abs(arr).sum() > 0
