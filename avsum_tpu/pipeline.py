@@ -251,13 +251,16 @@ class AVPipeline:
         the host C++ computes detection scores. Shot assignment + pooling
         happen after both finish (overlap hides whichever side is shorter).
         """
+        return self._finish_video(self._begin_video(reader, video_id))
+
+    def _begin_video(self, reader, video_id: str) -> Dict:
+        """Start one video's host threads (detection, wav) and enqueue its
+        visual dispatch; returns the in-flight state for _finish_video.
+        Splitting begin/finish lets the dataset sweep pipeline video i+1's
+        host work under video i's device work (cross-video overlap)."""
         import threading
 
-        from avsum_tpu.temporal.shots import (
-            boundaries_from_cuts,
-            cuts_from_scores,
-            refined_content_scores,
-        )
+        from avsum_tpu.temporal.shots import refined_content_scores
 
         fps, n_frames = reader.fps, reader.n_frames
         stride = max(1, round(fps / self.config.visual.sample_fps))
@@ -295,7 +298,29 @@ class AVPipeline:
                 yuv = self._read_yuv(reader, frame_idx[i : i + bs])
                 block_pending, _ = self.visual.dispatch_yuv(*yuv)
                 pending.extend(block_pending)
-            nf = len(frame_idx)
+
+        return {
+            "reader": reader,
+            "video_id": video_id,
+            "fps": fps,
+            "n_frames": n_frames,
+            "frame_idx": frame_idx,
+            "host_work": host_work,
+            "det_thread": det_thread,
+            "wav_thread": wav_thread,
+            "pending": pending,
+        }
+
+    def _finish_video(self, st: Dict) -> ProcessedVideo:
+        from avsum_tpu.temporal.shots import boundaries_from_cuts, cuts_from_scores
+
+        reader = st["reader"]
+        video_id = st["video_id"]
+        fps, n_frames = st["fps"], st["n_frames"]
+        frame_idx = st["frame_idx"]
+        host_work = st["host_work"]
+        det_thread, wav_thread = st["det_thread"], st["wav_thread"]
+        pending, nf = st["pending"], len(st["frame_idx"])
 
         with annotate("avsum.audio_dispatch"):
             wav_thread.join()
@@ -364,6 +389,45 @@ class AVPipeline:
         names = sorted(
             f for f in os.listdir(input_dir) if f.lower().endswith(extensions)
         )
+
+        def _submit(path, video_id):
+            """Start a video's work; returns a zero-arg finisher. Fast-path
+            videos begin their host threads + device dispatch NOW, so video
+            i+1's host work runs under video i's device work (cross-video
+            pipelining); other readers fall back to the synchronous path."""
+            reader = open_video(path)
+            if (
+                self.config.visual.sample_fps > 0
+                and hasattr(reader, "content_scores")
+                and hasattr(reader, "read_yuv420")
+            ):
+                st = self._begin_video(reader, video_id)
+
+                def _finish():
+                    try:
+                        return self._finish_video(st)
+                    finally:
+                        reader.close()
+
+                return _finish
+            reader.close()
+            return lambda: self.process_video(path)
+
+        def _complete(video_id, finisher):
+            try:
+                p = finisher()
+                self._validate_dims(p)
+                cache.put(
+                    p.video_id, p.visual, p.audio, p.boundaries, p.fps,
+                    p.n_frames, fingerprint=fp,
+                )
+                done.append(video_id)
+                log.info("cached %s: %d shots", video_id, len(p.boundaries))
+            except Exception as e:  # noqa: BLE001 — per-item isolation
+                cache.drop(video_id)
+                log.error("failed %s: %s", video_id, e)
+
+        in_flight = None  # (video_id, finisher)
         for name in names:
             video_id = os.path.splitext(name)[0]
             if cache.matches(video_id, fp):
@@ -375,17 +439,16 @@ class AVPipeline:
                 cache.drop(video_id)
             path = os.path.join(input_dir, name)
             try:
-                p = self.process_video(path)
-                self._validate_dims(p)
-                cache.put(
-                    p.video_id, p.visual, p.audio, p.boundaries, p.fps,
-                    p.n_frames, fingerprint=fp,
-                )
-                done.append(video_id)
-                log.info("cached %s: %d shots", video_id, len(p.boundaries))
+                finisher = _submit(path, video_id)
             except Exception as e:  # noqa: BLE001 — per-item isolation
                 cache.drop(video_id)
                 log.error("failed %s: %s", video_id, e)
+                continue
+            if in_flight is not None:
+                _complete(*in_flight)
+            in_flight = (video_id, finisher)
+        if in_flight is not None:
+            _complete(*in_flight)
         return done
 
     def _validate_dims(self, p: ProcessedVideo) -> None:

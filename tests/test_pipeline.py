@@ -130,3 +130,20 @@ def test_summarize_end_to_end(processed, media_dir, pipeline_cfg):
     summary_frames = sum(b - a for a, b in result["segments"])
     assert 0 < summary_frames <= int(0.15 * n) + 1
     assert len(result["scores"]) == len(result["boundaries"])
+
+
+def test_pipelined_sweep_isolates_finish_stage_failures(pipeline_cfg, tmp_path):
+    """Cross-video pipelining must keep per-item isolation when a video
+    fails in its FINISH stage (here: missing .wav sidecar -> audio policy
+    error raised out of the joined wav thread), not just at open."""
+    import os
+
+    for i, name in enumerate(["a_ok", "b_bad", "c_ok"]):
+        write_scene_video(str(tmp_path / name), n_scenes=2, seed=50 + i,
+                          height=32, width=32)
+    os.remove(str(tmp_path / "b_bad.wav"))  # silence_fallback=False -> error
+    pipeline = AVPipeline(pipeline_cfg)
+    cache = FeatureCache(str(tmp_path / "cache"))
+    done = pipeline.preprocess_dataset(str(tmp_path), cache)
+    assert done == ["a_ok", "c_ok"]
+    assert cache.has("a_ok") and cache.has("c_ok") and not cache.has("b_bad")
