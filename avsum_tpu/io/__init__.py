@@ -13,13 +13,14 @@ torchaudio load — SURVEY.md §1) rebuilt without external binaries:
 """
 
 from avsum_tpu.io.video import VideoReader, open_video
-from avsum_tpu.io.wav import read_wav, resample_linear, to_mono, write_wav
+from avsum_tpu.io.wav import read_wav, resample, resample_linear, to_mono, write_wav
 from avsum_tpu.io.y4m import Y4MReader, write_y4m
 
 __all__ = [
     "read_wav",
     "write_wav",
     "to_mono",
+    "resample",
     "resample_linear",
     "Y4MReader",
     "write_y4m",

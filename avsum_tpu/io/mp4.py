@@ -427,7 +427,7 @@ def extract_audio(path: str) -> Tuple[np.ndarray, int]:
 def load_mp4_audio_mono_16k(path: str) -> np.ndarray:
     """One-call mp4 -> mono float32 @16 kHz (pydub-chain equivalent,
     extractors.py:364-386)."""
-    from avsum_tpu.io.wav import resample_linear, to_mono
+    from avsum_tpu.io.wav import resample, to_mono
 
     samples, rate = extract_audio(path)
-    return resample_linear(to_mono(samples), rate, 16000)
+    return resample(to_mono(samples), rate, 16000)

@@ -116,7 +116,32 @@ def resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.nda
     return np.interp(t_out, t_in, x).astype(np.float32)
 
 
+def resample(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Band-limited polyphase resampling (Kaiser-windowed sinc via
+    scipy.signal.resample_poly — the same class of filter ffmpeg's swr
+    applied in the reference's pydub chain, extractors.py:364-386);
+    falls back to linear interpolation if scipy is unavailable.
+
+    The distinction matters for real datasets: 44.1/48 kHz -> 16 kHz is a
+    >2x downsample, where linear interpolation aliases everything above
+    ~8 kHz back into the band the mel filters integrate.
+    """
+    x = np.asarray(samples, np.float32).reshape(-1)
+    if src_rate == dst_rate or len(x) == 0:
+        return x
+    try:
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(int(src_rate), int(dst_rate))
+        up, down = int(dst_rate) // g, int(src_rate) // g
+        return resample_poly(x.astype(np.float64), up, down).astype(np.float32)
+    except ImportError:
+        return resample_linear(x, src_rate, dst_rate)
+
+
 def load_audio_mono_16k(path: str) -> np.ndarray:
     """One-call equivalent of the reference's extract->mono->16k chain."""
     samples, rate = read_wav(path)
-    return resample_linear(to_mono(samples), rate, 16000)
+    return resample(to_mono(samples), rate, 16000)

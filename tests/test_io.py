@@ -139,3 +139,25 @@ def test_native_prefetch_with_stride(tmp_path):
             np.testing.assert_array_equal(block, ref)
             seen.append(first)
         assert seen[0] == 0
+
+
+def test_resample_polyphase_rejects_aliasing():
+    """44.1k -> 16k is a >2x downsample: a 10 kHz tone must vanish (it is
+    above the 8 kHz Nyquist of the target rate), not fold back into band —
+    the failure mode of the linear resampler this replaces."""
+    from avsum_tpu.io.wav import resample, resample_linear
+
+    sr_in, sr_out = 44100, 16000
+    t = np.arange(sr_in) / sr_in
+    tone = np.sin(2 * np.pi * 10000 * t).astype(np.float32)
+    out = resample(tone, sr_in, sr_out)
+    assert abs(len(out) - sr_out) <= 2
+    # band-limited filter kills the out-of-band tone...
+    assert float(np.sqrt(np.mean(out[100:-100] ** 2))) < 0.02
+    # ...while the linear resampler aliases it (sanity of the comparison)
+    lin = resample_linear(tone, sr_in, sr_out)
+    assert float(np.sqrt(np.mean(lin[100:-100] ** 2))) > 0.1
+    # an in-band tone passes through at unit amplitude
+    tone2 = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    out2 = resample(tone2, sr_in, sr_out)
+    assert 0.9 < float(np.abs(out2[100:-100]).max()) < 1.1
