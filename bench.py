@@ -8,8 +8,9 @@ The north-star target (BASELINE.md) is 1 hour of 30 fps video end-to-end
 in < 60 s on one v5e chip = 1800 source frames/sec; vs_baseline is the
 ratio against that target. The measured pipeline is the real one
 (full ResNet50+InceptionV3 dual backbone in bf16, 296-d audio features,
-flagship AVScorer, knapsack selection), on a cached synthetic 320x180
-2-minute scene video. Detailed stage timings go to stderr.
+flagship AVScorer, knapsack selection), on a cached synthetic 640x360
+(TVSum-class resolution) 2-minute scene video. Detailed stage timings go
+to stderr.
 """
 
 import json
@@ -18,7 +19,7 @@ import sys
 import time
 
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
-STEM = os.path.join(BENCH_DIR, "bench_320x180_120s")
+STEM = os.path.join(BENCH_DIR, "bench_640x360_120s")
 FPS = 30.0
 SECONDS = 120
 TARGET_FPS = 1800.0  # 1 h in 60 s
@@ -55,8 +56,8 @@ def ensure_media():
         n_scenes=25,
         seed=123,
         fps=FPS,
-        height=180,
-        width=320,
+        height=360,
+        width=640,
         scene_len_frames=(90, 210),
     )
     log(f"bench media written in {time.perf_counter() - t0:.1f}s")
