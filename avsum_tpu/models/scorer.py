@@ -69,6 +69,16 @@ class AVScorer(nn.Module):
             return None
         return self.mesh
 
+    def _ep_mesh(self):
+        """Mesh for expert parallelism (model axis shards the experts)."""
+        if self.mesh is None:
+            return None
+        from avsum_tpu.parallel.mesh import AXIS_MODEL
+
+        if dict(self.mesh.shape).get(AXIS_MODEL, 1) <= 1:
+            return None
+        return self.mesh
+
     def _temporal(self, name: str, use_pallas: bool = False):
         cfg = self.config
         dtype = _DTYPES[cfg.dtype]
@@ -85,6 +95,20 @@ class AVScorer(nn.Module):
                 use_pallas=use_pallas,
                 ring_mesh=self._ring_mesh(),
                 remat=cfg.remat,
+                name=name,
+            )
+        if kind == "moe":
+            from avsum_tpu.models.moe import MoEEncoder
+
+            return MoEEncoder(
+                cfg.hidden_dim,
+                num_layers=cfg.temporal_layers,
+                num_heads=cfg.num_heads,
+                n_experts=cfg.moe_experts,
+                top_k=cfg.moe_topk,
+                dropout=cfg.dropout,
+                dtype=dtype,
+                ep_mesh=self._ep_mesh(),
                 name=name,
             )
         if kind == "tcn":

@@ -6,6 +6,7 @@ device interaction is six bare ``.cuda()`` calls, e.g.
 and every other layer is mesh-aware from day one, even at mesh size 1.
 """
 
+from avsum_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
 from avsum_tpu.parallel.mesh import (
     AXIS_DATA,
     AXIS_MODEL,
@@ -32,4 +33,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_replicated",
+    "pipeline_apply",
+    "stack_stage_params",
 ]

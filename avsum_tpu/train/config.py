@@ -89,8 +89,13 @@ class ModelConfig:
     num_heads: int = 4
     scorer_hidden: int = 64
     dropout: float = 0.3
-    temporal_encoder: str = "attention"  # attention | bilstm | tcn
+    temporal_encoder: str = "attention"  # attention | bilstm | tcn | moe
     temporal_layers: int = 2
+    # mixture-of-experts temporal encoder (temporal_encoder: "moe", the
+    # expert-parallel upgraded-encoder path — experts shard over the mesh's
+    # `model` axis when the trainer passes a mesh)
+    moe_experts: int = 4
+    moe_topk: int = 2
     fusion: str = "self"  # self (MHSA over concat) | cross (co-attention)
     chunk_size: int = 0  # 0 = full attention; >0 = blockwise/chunked
     # flash-attention Pallas kernel (fwd + custom-VJP flash backward, so
