@@ -107,6 +107,10 @@ class AudioFrontend:
         """Whole-waveform streams (no boundaries needed -> dispatchable
         before/while shot detection runs on the host)."""
         cfg = self.config
+        if waveform.dtype == jnp.int16:
+            # int16 ships half the bytes over the host link; this is the
+            # exact same normalization io/wav.py applies on host
+            waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
         if self.use_pallas:
             from avsum_tpu.ops import fused_log_mel
 
@@ -155,8 +159,13 @@ class AudioFrontend:
         return out
 
     def dispatch_full(self, waveform):
-        """Async whole-waveform feature dispatch (bucketed shapes)."""
-        wave = np.asarray(waveform, np.float32).reshape(-1)
+        """Async whole-waveform feature dispatch (bucketed shapes).
+
+        int16 waveforms ship as-is (half the link bytes; normalized on
+        device — see _full_features_impl); everything else as float32."""
+        wave = np.asarray(waveform).reshape(-1)
+        if wave.dtype != np.int16:
+            wave = wave.astype(np.float32)
         t = max(len(wave), self.config.sample_rate)
         t_bucket = 1 << (t - 1).bit_length()
         wave = np.pad(wave, (0, t_bucket - len(wave)))

@@ -145,3 +145,37 @@ def load_audio_mono_16k(path: str) -> np.ndarray:
     """One-call equivalent of the reference's extract->mono->16k chain."""
     samples, rate = read_wav(path)
     return resample(to_mono(samples), rate, 16000)
+
+
+def load_audio_mono_16k_ship(path: str) -> np.ndarray:
+    """Like :func:`load_audio_mono_16k` but keeps mono 16 kHz PCM16 files in
+    their native int16 — half the bytes over the host->device link, with the
+    /32768 normalization done on device (bit-identical to the float path;
+    the device converts with exactly the same constant read_wav uses).
+    Anything needing downmix/resample falls back to the float32 chain.
+    """
+    with open(path, "rb") as fh:
+        head = fh.read(128)
+    # fast header sniff: RIFF/WAVE, fmt chunk first (the layout every
+    # encoder emits), PCM16 mono 16 kHz
+    if (
+        len(head) >= 44
+        and head[:4] == b"RIFF"
+        and head[8:12] == b"WAVE"
+        and head[12:16] == b"fmt "
+    ):
+        audio_format, channels, rate, _, _, bits = struct.unpack(
+            "<HHIIHH", head[20:36]
+        )
+        if audio_format == 1 and channels == 1 and rate == 16000 and bits == 16:
+            with open(path, "rb") as fh:
+                data = fh.read()
+            pos = 12
+            while pos + 8 <= len(data):
+                chunk_id = data[pos : pos + 4]
+                (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+                if chunk_id == b"data":
+                    body = data[pos + 8 : pos + 8 + size]
+                    return np.frombuffer(body[: len(body) // 2 * 2], "<i2")
+                pos += 8 + size + (size & 1)
+    return load_audio_mono_16k(path)

@@ -24,7 +24,7 @@ import numpy as np
 from avsum_tpu.audio.frontend import AudioFrontend
 from avsum_tpu.data.cache import FeatureCache
 from avsum_tpu.io.video import audio_path_for, open_video
-from avsum_tpu.io.wav import load_audio_mono_16k
+from avsum_tpu.io.wav import load_audio_mono_16k_ship
 from avsum_tpu.summary.knapsack import select_summary
 from avsum_tpu.temporal.shots import (
     ContentDetectorConfig,
@@ -127,7 +127,7 @@ class AVPipeline:
         config-gated silence substitute."""
         wav_path = audio_path_for(video_path)
         if wav_path is not None:
-            return load_audio_mono_16k(wav_path)
+            return load_audio_mono_16k_ship(wav_path)
 
         sr = self.config.audio.sample_rate
         silence = np.zeros(max(int(duration_s * sr), sr), np.float32)

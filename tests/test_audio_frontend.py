@@ -92,3 +92,40 @@ def test_large_audio_encoder_contract():
     out = np.asarray(fe.shot_features(wav, np.array([[0, 16000]], np.float32)))
     assert out.shape == (1, 296)
     assert np.isfinite(out).all()
+
+
+def test_int16_ship_path_matches_float32(frontend, tmp_path):
+    """int16 waveforms (shipped at half the link bytes) must produce
+    IDENTICAL features to the host-normalized float32 path, and the ship
+    loader must keep mono-16k-PCM16 files in int16."""
+    from avsum_tpu.io.wav import load_audio_mono_16k, load_audio_mono_16k_ship, write_wav
+
+    sr = 16000
+    rng = np.random.default_rng(11)
+    f32 = (rng.standard_normal(2 * sr) * 0.2).clip(-1, 1).astype(np.float32)
+    path = str(tmp_path / "a.wav")
+    write_wav(path, f32, sr)
+
+    shipped = load_audio_mono_16k_ship(path)
+    assert shipped.dtype == np.int16
+    loaded = load_audio_mono_16k(path)
+    np.testing.assert_allclose(
+        shipped.astype(np.float32) / 32768.0, loaded, atol=0
+    )
+
+    bounds = np.array([[0, sr], [sr, 2 * sr]], np.float32)
+    out_i16 = np.asarray(frontend.shot_features(shipped, bounds))
+    out_f32 = np.asarray(frontend.shot_features(loaded, bounds))
+    np.testing.assert_array_equal(out_i16, out_f32)
+
+
+def test_int16_ship_loader_falls_back_for_stereo(tmp_path):
+    from avsum_tpu.io.wav import load_audio_mono_16k_ship, write_wav
+
+    sr = 16000
+    x = np.stack([np.ones(sr, np.float32) * 0.5, np.zeros(sr, np.float32)], 1)
+    path = str(tmp_path / "st.wav")
+    write_wav(path, x, sr)
+    out = load_audio_mono_16k_ship(path)
+    assert out.dtype == np.float32  # stereo downmix needs the float chain
+    np.testing.assert_allclose(out, np.full(sr, 0.25), atol=1e-4)

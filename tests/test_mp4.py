@@ -95,10 +95,17 @@ def test_pipeline_prefers_sidecar_then_container(tmp_path):
     # no sidecar -> container track
     out = _load_audio(cfg, video)
     np.testing.assert_allclose(out, _quantized(_tone(16000, f=220.0)), atol=1e-4)
-    # sidecar wins over the container
+    # sidecar wins over the container; mono-16k-PCM16 sidecars ship int16
+    # (normalized on device by the audio front-end — see
+    # avsum_tpu/io/wav.py::load_audio_mono_16k_ship)
     write_wav(str(tmp_path / "v.wav"), _tone(16000, f=880.0), 16000)
     out2 = _load_audio(cfg, video)
-    np.testing.assert_allclose(out2, _quantized(_tone(16000, f=880.0)), atol=2e-4)
+    assert out2.dtype == np.int16
+    np.testing.assert_allclose(
+        out2.astype(np.float32) / 32768.0,
+        _quantized(_tone(16000, f=880.0)),
+        atol=2e-4,
+    )
 
 
 def test_pipeline_errors_on_undecodable_audio_by_default(tmp_path):
