@@ -89,6 +89,10 @@ class AudioFrontend:
             self.vggish = LargeAudioEncoder(embed_dim=config.vggish_dim)
         else:
             self.vggish = VGGish()
+        if vggish_params is None and config.vggish_weights:
+            from avsum_tpu.utils.serialization import load_params
+
+            vggish_params = load_params(config.vggish_weights)
         if vggish_params is None:
             from avsum_tpu.vision.backbone import fast_init
 

@@ -46,6 +46,10 @@ class AudioFeatConfig:
     eps: float = 1e-6
     vggish_dim: int = 128
     encoder: str = "vggish"  # vggish | large (upgraded encoder, config 4)
+    # path to ported VGGish params (audio/port_vggish.py::vggish_from_torch
+    # saved via utils/serialization.py). "" = random init — stand-in for the
+    # reference's torch.hub download (extractors.py:188)
+    vggish_weights: str = ""
     # fused STFT->mel->log Pallas kernel: None = auto (on for TPU backends,
     # off elsewhere); requires n_fft == 2*hop_length
     use_pallas: Optional[bool] = None
@@ -77,6 +81,11 @@ class VisualFeatConfig:
     # input quality. Only applied when the source is LARGER than this.
     ship_size: int = 304
     backbone: str = "dual"  # dual (resnet50+inceptionv3) | resnet50 | vit
+    # path to a ported backbone variable tree (utils/serialization.py;
+    # built by vision/port_torch.py::dual_backbone_variables). "" = random
+    # init — the explicit stand-in for the reference's implicit pretrained
+    # torchvision downloads (extractors.py:25-26)
+    weights: str = ""
     feature_dim: int = 4096  # 2048 + 2048 concat contract (extractors.py:108)
     dtype: str = "bfloat16"
 

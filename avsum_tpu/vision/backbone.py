@@ -300,6 +300,10 @@ def make_visual_frontend(
         model = TinyBackbone(config.feature_dim, dtype)
     else:
         raise ValueError(f"unknown visual backbone {config.backbone!r}")
+    if config.weights and kwargs.get("variables") is None:
+        from avsum_tpu.utils.serialization import load_params
+
+        kwargs["variables"] = load_params(config.weights)
     return VisualFrontend(config, model=model, **kwargs)
 
 

@@ -104,3 +104,17 @@ def inception_v3_from_torch(state_dict) -> Tuple[Dict, Dict]:
         else:
             raise KeyError(key)
     return _nest(params), _nest(stats)
+
+
+def dual_backbone_variables(resnet_state_dict, inception_state_dict) -> Dict:
+    """Compose both ported torchvision backbones into the variable tree the
+    pipeline's ``DualBackbone`` consumes (submodules ``resnet`` and
+    ``inception``). Persist with ``utils.serialization.save_params`` and
+    point ``visual.weights`` at the file — the explicit equivalent of the
+    reference's implicit pretrained downloads (extractors.py:25-26)."""
+    r_params, r_stats = resnet50_from_torch(resnet_state_dict)
+    i_params, i_stats = inception_v3_from_torch(inception_state_dict)
+    return {
+        "params": {"resnet": r_params, "inception": i_params},
+        "batch_stats": {"resnet": r_stats, "inception": i_stats},
+    }
