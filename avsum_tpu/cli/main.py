@@ -216,6 +216,28 @@ def _canonical_eval(cfg: Config, trainer, examples) -> dict:
     )
 
 
+def _load_scorer(cfg: Config, checkpoint_dir: str):
+    """Restore (model, params) from a checkpoint dir; (None, None) if empty."""
+    from avsum_tpu.data.batching import pad_batch
+    from avsum_tpu.data.synthetic import make_synthetic_videos
+    from avsum_tpu.models import make_model
+    from avsum_tpu.train.checkpoint import CheckpointManager
+    from avsum_tpu.train.steps import create_train_state
+
+    model = make_model(cfg.model)
+    sample = pad_batch(
+        make_synthetic_videos(
+            1, visual_dim=cfg.model.visual_dim, audio_dim=cfg.model.audio_dim
+        ),
+        cfg.data.max_shots,
+    )
+    template = create_train_state(model, cfg.train, sample)
+    state, _ = CheckpointManager(checkpoint_dir).restore(template)
+    if state is None:
+        return None, None
+    return model, state.params
+
+
 def cmd_summarize(args) -> int:
     cfg = _config(args)
     from avsum_tpu.pipeline import AVPipeline
@@ -223,27 +245,10 @@ def cmd_summarize(args) -> int:
     pipeline = AVPipeline(cfg)
     model = params = None
     if args.checkpoint:
-        from avsum_tpu.data.batching import pad_batch
-        from avsum_tpu.data.synthetic import make_synthetic_videos
-        from avsum_tpu.models import make_model
-        from avsum_tpu.train.checkpoint import CheckpointManager
-        from avsum_tpu.train.steps import create_train_state
-
-        model = make_model(cfg.model)
-        sample = pad_batch(
-            make_synthetic_videos(
-                1,
-                visual_dim=cfg.model.visual_dim,
-                audio_dim=cfg.model.audio_dim,
-            ),
-            cfg.data.max_shots,
-        )
-        template = create_train_state(model, cfg.train, sample)
-        state, _ = CheckpointManager(args.checkpoint).restore(template)
-        if state is None:
+        model, params = _load_scorer(cfg, args.checkpoint)
+        if model is None:
             log.error("no checkpoint in %s", args.checkpoint)
             return 1
-        params = state.params
     import os
 
     def run_one(path):
@@ -287,6 +292,26 @@ def cmd_summarize(args) -> int:
         log.info("wrote %s", args.output)
     else:
         print(json.dumps(out))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    cfg = _config(args)
+    from avsum_tpu.serve import ServeConfig, SummarizeServer
+
+    model = params = None
+    if args.checkpoint:
+        model, params = _load_scorer(cfg, args.checkpoint)
+        if model is None:
+            log.error("no checkpoint in %s", args.checkpoint)
+            return 1
+    server = SummarizeServer(
+        cfg,
+        ServeConfig(host=args.host, port=args.port, warmup=not args.no_warmup),
+        model=model,
+        params=params,
+    )
+    server.start(block=True)
     return 0
 
 
@@ -343,7 +368,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     p.set_defaults(fn=cmd_summarize)
 
+    p = sub.add_parser(
+        "serve", help="run the HTTP summarization service (avsum_tpu.serve)"
+    )
+    _add_common(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument(
+        "--no-warmup",
+        action="store_true",
+        help="skip the synthetic pre-compile warmup before readiness",
+    )
+    p.set_defaults(fn=cmd_serve)
+
     args = parser.parse_args(argv)
+    from avsum_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 

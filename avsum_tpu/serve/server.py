@@ -1,0 +1,241 @@
+"""Production serving: an HTTP summarization service over one pipeline.
+
+The reference has no serving story at all (its entry points are
+import-time scripts, /root/reference/scripts/preprocess.py:88-89); this
+module is the deployment surface for the on-the-fly summarize path
+(BASELINE config 3).
+
+TPU-first design:
+- ONE pipeline instance owns the chip. All jit programs (backbone
+  batches, audio front-end, scorer buckets) compile on the first request
+  per shape bucket and stay cached for the process lifetime; an optional
+  synthetic warmup pre-compiles them before the server reports ready.
+- Device access is serialized through a FIFO ticket lock — HTTP threads
+  never interleave device dispatch mid-video, and requests are served in
+  arrival order (no starvation under load).
+- Params are pinned on device once (pipeline internals), so a request
+  ships only its video's bytes, never weights.
+
+The API takes server-local paths (an internal/trusted service, the
+deployment shape of a preprocessing farm next to storage). Raw-upload
+ingest would sit behind the same endpoint; the host-side decode path is
+identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from avsum_tpu.train.config import Config
+from avsum_tpu.utils.logging import get_logger
+
+log = get_logger("avsum.serve")
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    host: str = "127.0.0.1"
+    port: int = 8080  # 0 = ephemeral (the bound port is in .port)
+    # pre-compile the hot jit programs with a synthetic clip before
+    # reporting ready (first real request then hits warm caches)
+    warmup: bool = True
+
+
+class _FifoLock:
+    """A FIFO-fair lock: waiters acquire strictly in arrival order."""
+
+    def __init__(self):
+        self._mutex = threading.Lock()
+        self._queue = []
+
+    def __enter__(self):
+        ev = threading.Event()
+        with self._mutex:
+            self._queue.append(ev)
+            first = len(self._queue) == 1
+        if not first:
+            ev.wait()
+        return self
+
+    def __exit__(self, *exc):
+        with self._mutex:
+            self._queue.pop(0)
+            if self._queue:
+                self._queue[0].set()
+        return False
+
+
+class SummarizeServer:
+    """HTTP server wrapping ``AVPipeline.summarize``.
+
+    Endpoints:
+      GET  /healthz       -> 200 {"status": "ok"} (process liveness)
+      GET  /readyz        -> 200 once warmup finished, 503 before
+      GET  /v1/stats      -> request counters + latency
+      POST /v1/summarize  -> {"path": ..., "budget_fraction"?: float}
+                             -> summary JSON (scores, segments, fps)
+    """
+
+    def __init__(
+        self,
+        config: Config = Config(),
+        serve_config: ServeConfig = ServeConfig(),
+        model=None,
+        params=None,
+    ):
+        from avsum_tpu.pipeline import AVPipeline
+
+        self.config = config
+        self.serve_config = serve_config
+        self.pipeline = AVPipeline(config)
+        self.model = model
+        self.params = params
+        self._device_lock = _FifoLock()
+        self._ready = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests": 0,
+            "failures": 0,
+            "frames": 0,
+            "latency_ewma_s": 0.0,
+        }
+        self._t0 = time.time()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------------
+
+    @property
+    def port(self) -> int:
+        assert self._httpd is not None, "server not started"
+        return self._httpd.server_address[1]
+
+    def warmup(self) -> None:
+        """Compile the hot programs on a synthetic clip, then mark ready."""
+        import os
+        import tempfile
+
+        if self.serve_config.warmup:
+            from avsum_tpu.io.synthetic import write_scene_video
+
+            with tempfile.TemporaryDirectory() as td:
+                stem = os.path.join(td, "warmup")
+                write_scene_video(
+                    stem, n_scenes=2, seed=0, fps=8.0, height=64, width=96,
+                    scene_len_frames=(8, 12),
+                )
+                with self._device_lock:
+                    self.pipeline.summarize(
+                        stem + ".y4m", self.model, self.params
+                    )
+        self._ready.set()
+
+    def start(self, block: bool = False) -> None:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # route through our logger
+                log.debug("http: " + fmt, *args)
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    return self._json(200, {"status": "ok"})
+                if self.path == "/readyz":
+                    if server._ready.is_set():
+                        return self._json(200, {"status": "ready"})
+                    return self._json(503, {"status": "warming_up"})
+                if self.path == "/v1/stats":
+                    with server._stats_lock:
+                        stats = dict(server._stats)
+                    stats["uptime_s"] = round(time.time() - server._t0, 1)
+                    return self._json(200, stats)
+                return self._json(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/v1/summarize":
+                    return self._json(404, {"error": f"unknown path {self.path}"})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    path = req["path"]
+                except (ValueError, KeyError) as e:
+                    return self._json(
+                        400, {"error": f"bad request: {e!r} (need JSON with 'path')"}
+                    )
+                code, payload = server.handle_summarize(
+                    path, req.get("budget_fraction")
+                )
+                return self._json(code, payload)
+
+        self._httpd = ThreadingHTTPServer(
+            (self.serve_config.host, self.serve_config.port), Handler
+        )
+        self._httpd.daemon_threads = True
+        threading.Thread(target=self.warmup, daemon=True).start()
+        if block:
+            log.info("serving on %s:%d", self.serve_config.host, self.port)
+            self._httpd.serve_forever()
+        else:
+            self._thread = threading.Thread(
+                target=self._httpd.serve_forever, daemon=True
+            )
+            self._thread.start()
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            if self._thread is not None:
+                self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def handle_summarize(self, path: str, budget_fraction=None):
+        """One request: (http_code, payload). Device work is FIFO-ordered."""
+        import os
+
+        self._ready.wait()
+        if not os.path.exists(path):
+            return 404, {"error": f"no such video: {path}"}
+        t0 = time.perf_counter()
+        try:
+            with self._device_lock:
+                result = self.pipeline.summarize(
+                    path, self.model, self.params,
+                    budget_fraction=budget_fraction,
+                )
+        except Exception as e:  # noqa: BLE001 — per-request isolation
+            with self._stats_lock:
+                self._stats["requests"] += 1
+                self._stats["failures"] += 1
+            log.error("summarize %s failed: %s", path, e)
+            return 500, {"error": str(e)}
+        dt = time.perf_counter() - t0
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["frames"] += int(result["n_frames"])
+            ewma = self._stats["latency_ewma_s"]
+            self._stats["latency_ewma_s"] = round(
+                dt if ewma == 0.0 else 0.8 * ewma + 0.2 * dt, 4
+            )
+        return 200, {
+            "video_id": result["video_id"],
+            "n_frames": int(result["n_frames"]),
+            "fps": float(result["fps"]),
+            "segments": [[int(a), int(b)] for a, b in result["segments"]],
+            "shot_scores": [float(s) for s in result["scores"]],
+            "latency_s": round(dt, 3),
+        }

@@ -72,8 +72,11 @@ def main():
     from avsum_tpu.models import make_model
     from avsum_tpu.pipeline import AVPipeline
     from avsum_tpu.train.config import load_config
+    from avsum_tpu.utils.jaxcache import enable_compilation_cache
 
+    cache_dir = enable_compilation_cache()
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    log(f"compilation cache: {cache_dir}")
 
     cfg = load_config(
         overrides=[

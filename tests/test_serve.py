@@ -1,0 +1,148 @@
+"""HTTP serving subsystem: endpoints, ordering, isolation, stats."""
+
+import json
+import threading
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+
+from avsum_tpu.serve import ServeConfig, SummarizeServer
+from avsum_tpu.train.config import load_config
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    cfg = load_config(
+        overrides=[
+            "visual.backbone=tiny",
+            "visual.dtype=float32",
+            "visual.sample_fps=2.0",
+            "audio.silence_fallback=true",
+        ]
+    )
+    srv = SummarizeServer(cfg, ServeConfig(port=0, warmup=True))
+    srv.start(block=False)
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    from avsum_tpu.io.synthetic import write_scene_video
+
+    stem = str(tmp_path_factory.mktemp("serve") / "clip")
+    write_scene_video(
+        stem, n_scenes=3, seed=5, fps=8.0, height=64, width=96,
+        scene_len_frames=(10, 16),
+    )
+    return stem + ".y4m"
+
+
+def _request(srv, method, path, body=None):
+    conn = HTTPConnection("127.0.0.1", srv.port, timeout=300)
+    try:
+        conn.request(
+            method, path, body=json.dumps(body) if body is not None else None
+        )
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read() or b"{}")
+    finally:
+        conn.close()
+
+
+def test_health_and_readiness(server):
+    code, payload = _request(server, "GET", "/healthz")
+    assert code == 200 and payload["status"] == "ok"
+    server._ready.wait(timeout=300)
+    code, payload = _request(server, "GET", "/readyz")
+    assert code == 200 and payload["status"] == "ready"
+
+
+def test_summarize_endpoint(server, video):
+    code, payload = _request(server, "POST", "/v1/summarize", {"path": video})
+    assert code == 200, payload
+    assert payload["n_frames"] > 0
+    assert len(payload["segments"]) >= 1
+    assert len(payload["shot_scores"]) >= 1
+    total = payload["n_frames"]
+    summary_frames = sum(b - a for a, b in payload["segments"])
+    assert summary_frames <= max(int(0.15 * total), payload["segments"][0][1] - payload["segments"][0][0])
+
+
+def test_budget_override(server, video):
+    code, full = _request(
+        server, "POST", "/v1/summarize", {"path": video, "budget_fraction": 0.9}
+    )
+    assert code == 200
+    frames_90 = sum(b - a for a, b in full["segments"])
+    code, tight = _request(
+        server, "POST", "/v1/summarize", {"path": video, "budget_fraction": 0.1}
+    )
+    assert code == 200
+    frames_10 = sum(b - a for a, b in tight["segments"])
+    assert frames_10 <= frames_90
+
+
+def test_missing_video_is_404_and_isolated(server, video):
+    code, payload = _request(
+        server, "POST", "/v1/summarize", {"path": "/nope/missing.y4m"}
+    )
+    assert code == 404
+    # the server keeps working after a failed request
+    code, payload = _request(server, "POST", "/v1/summarize", {"path": video})
+    assert code == 200
+
+
+def test_bad_request_is_400(server):
+    code, payload = _request(server, "POST", "/v1/summarize", {"nope": 1})
+    assert code == 400
+
+
+def test_unknown_path_is_404(server):
+    code, _ = _request(server, "GET", "/nope")
+    assert code == 404
+    code, _ = _request(server, "POST", "/nope")
+    assert code == 404
+
+
+def test_stats_accumulate(server, video):
+    code, before = _request(server, "GET", "/v1/stats")
+    assert code == 200
+    code, _ = _request(server, "POST", "/v1/summarize", {"path": video})
+    assert code == 200
+    code, after = _request(server, "GET", "/v1/stats")
+    assert after["requests"] == before["requests"] + 1
+    assert after["frames"] > before["frames"]
+    assert after["latency_ewma_s"] > 0
+
+
+def test_concurrent_requests_all_succeed(server, video):
+    """FIFO device lock: parallel requests serialize safely, none fail."""
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = _request(
+            server, "POST", "/v1/summarize", {"path": video}
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for code, payload in results:
+        assert code == 200, payload
+    scores = [tuple(p["shot_scores"]) for _, p in results]
+    assert len(set(scores)) == 1  # deterministic across concurrent requests
+
+
+def test_cli_serve_parser():
+    """The serve subcommand parses (no server start needed)."""
+    import argparse
+
+    from avsum_tpu.cli.main import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["serve", "--help"])
+    assert e.value.code == 0
