@@ -16,9 +16,11 @@ this framework re-designs every component TPU-first:
 - ``data/``      TVSum/SumMe parsers, feature cache, splits, batching
 - ``train/``     pjit train/eval steps, checkpointing, config
 - ``summary/``   knapsack summary selection + evaluation protocol
-- ``io/``        media I/O (WAV/Y4M/AVSB) incl. native C++ fast path
-- ``utils/``     logging, profiling, checkify helpers
-- ``cli/``       preprocess | train | evaluate | summarize entry points
+- ``io/``        media I/O (WAV/Y4M/mp4/AVSB) incl. native C++ fast path
+- ``serve/``     HTTP summarization service (production serving surface)
+- ``utils/``     logging, profiling, checkify, weight serialization,
+  persistent-compilation-cache helpers
+- ``cli/``       preprocess | train | evaluate | summarize | serve
 
 Top-level distribution name:
 ``audiovidsum-a-multi-modal-approach-to-video-summarization-tpu``.
@@ -39,6 +41,10 @@ _EXPORTS = {
     "MeshConfig": ("avsum_tpu.parallel.mesh", "MeshConfig"),
     "select_summary": ("avsum_tpu.summary.knapsack", "select_summary"),
     "evaluate_scores": ("avsum_tpu.summary.metrics", "evaluate_scores"),
+    "SummarizeServer": ("avsum_tpu.serve", "SummarizeServer"),
+    "ServeConfig": ("avsum_tpu.serve", "ServeConfig"),
+    "save_params": ("avsum_tpu.utils.serialization", "save_params"),
+    "load_params": ("avsum_tpu.utils.serialization", "load_params"),
 }
 
 

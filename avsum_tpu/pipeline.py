@@ -294,10 +294,52 @@ class AVPipeline:
             # (ROADMAP round-1 deferral 6: true streaming hour-scale ingest).
             bs = self.visual.batch_size
             pending = []
-            for i in range(0, len(frame_idx), bs):
-                yuv = self._read_yuv(reader, frame_idx[i : i + bs])
-                block_pending, _ = self.visual.dispatch_yuv(*yuv)
-                pending.extend(block_pending)
+            ded = self.config.visual.dedup_threshold
+            run_ids = None
+            if ded > 0:
+                # adaptive sampling: embed (and ship) a frame only when its
+                # luma moved >= threshold vs the last embedded frame; other
+                # frames pool their run's embedding (run_ids gather in
+                # pool_on_device). Cuts always exceed any sane threshold,
+                # so shot structure is preserved.
+                run_ids = np.empty(len(frame_idx), np.int32)
+                n_unique = 0
+                last_y = None
+                ybuf: list = []
+                ubuf: list = []
+                vbuf: list = []
+                for i in range(0, len(frame_idx), bs):
+                    y, u, v = self._read_yuv(reader, frame_idx[i : i + bs])
+                    for j in range(y.shape[0]):
+                        yj = y[j].astype(np.int16)
+                        if last_y is None or float(
+                            np.mean(np.abs(yj - last_y))
+                        ) >= ded:
+                            ybuf.append(y[j])
+                            ubuf.append(u[j])
+                            vbuf.append(v[j])
+                            last_y = yj
+                            n_unique += 1
+                        run_ids[i + j] = n_unique - 1
+                        if len(ybuf) == bs:
+                            block_pending, _ = self.visual.dispatch_yuv(
+                                np.stack(ybuf), np.stack(ubuf), np.stack(vbuf)
+                            )
+                            pending.extend(block_pending)
+                            ybuf, ubuf, vbuf = [], [], []
+                if ybuf:
+                    block_pending, _ = self.visual.dispatch_yuv(
+                        np.stack(ybuf), np.stack(ubuf), np.stack(vbuf)
+                    )
+                    pending.extend(block_pending)
+                log.debug(
+                    "dedup: %d/%d frames shipped", n_unique, len(frame_idx)
+                )
+            else:
+                for i in range(0, len(frame_idx), bs):
+                    yuv = self._read_yuv(reader, frame_idx[i : i + bs])
+                    block_pending, _ = self.visual.dispatch_yuv(*yuv)
+                    pending.extend(block_pending)
 
         return {
             "reader": reader,
@@ -309,6 +351,7 @@ class AVPipeline:
             "det_thread": det_thread,
             "wav_thread": wav_thread,
             "pending": pending,
+            "run_ids": run_ids,
         }
 
     def _finish_video(self, st: Dict) -> ProcessedVideo:
@@ -351,7 +394,8 @@ class AVPipeline:
             # pooling happens ON DEVICE: only the [S, D] pooled features
             # cross the link instead of the [F, D] raw frame features
             visual, counts = self.visual.pool_on_device(
-                pending, nf, shot_ids, keep, len(boundaries)
+                pending, nf, shot_ids, keep, len(boundaries),
+                run_ids=st["run_ids"],
             )
             # shots shorter than the sampling stride caught no uniform
             # sample; embed their start frames so every shot has at least

@@ -80,6 +80,14 @@ class VisualFeatConfig:
     # so 304 ships ~2.5x fewer bytes from 640x360 sources at equal model
     # input quality. Only applied when the source is LARGER than this.
     ship_size: int = 304
+    # adaptive near-duplicate sampling: a sampled frame is shipped/embedded
+    # only when its mean abs luma difference vs the last shipped frame
+    # reaches this threshold (0-255 scale; 0 disables). Skipped frames
+    # reuse their run's embedding in per-shot pooling (exact frame counts,
+    # approximate embeddings — the pooled mean uses one noise realization
+    # per run instead of several). Standard adaptive-sampling lever for
+    # static-camera content; fidelity pinned in tests/test_dedup.py.
+    dedup_threshold: float = 0.0
     backbone: str = "dual"  # dual (resnet50+inceptionv3) | resnet50 | vit
     # path to a ported backbone variable tree (utils/serialization.py;
     # built by vision/port_torch.py::dual_backbone_variables). "" = random

@@ -199,12 +199,17 @@ class VisualFrontend:
         shot_ids: np.ndarray,
         keep: np.ndarray,
         n_shots: int,
+        run_ids: Optional[np.ndarray] = None,
     ):
         """Segment-pool dispatched frame features ON DEVICE and ship only
         the [n_shots, D] result (+counts) — for long videos the raw
         [F, D] feature readback dominates the pipeline on a slow link.
 
         shot_ids/keep: per-sampled-frame shot assignment and cap mask.
+        run_ids: optional per-sampled-frame index into the (deduplicated)
+        embedded frames — frame f pools run_ids[f]'s embedding, so pooling
+        stays exact over frame counts when only unique frames were shipped
+        (visual.dedup_threshold). None = identity (frame f == embedding f).
         Returns (pooled [n_shots, D] f32, counts [n_shots]).
         """
         if not pending:
@@ -224,18 +229,47 @@ class VisualFrontend:
                 )
                 return sums / jnp.maximum(counts, 1.0)[:, None], counts
 
+            def _pool_runs(feats_list, runs, ids, keep_mask, n_seg):
+                feats = jnp.concatenate(feats_list, axis=0)[runs]
+                w = keep_mask.astype(jnp.float32)[:, None]
+                sums = jax.ops.segment_sum(
+                    feats.astype(jnp.float32) * w, ids, num_segments=n_seg
+                )
+                counts = jax.ops.segment_sum(
+                    w[:, 0], ids, num_segments=n_seg
+                )
+                return sums / jnp.maximum(counts, 1.0)[:, None], counts
+
             self._pool_jit = jax.jit(_pool, static_argnames=("n_seg",))
+            self._pool_runs_jit = jax.jit(
+                _pool_runs, static_argnames=("n_seg",)
+            )
         f_pad = sum(p.shape[0] for p in pending)
         # bucket the shot count so one program serves many videos
         n_bucket = max(64, -(-n_shots // 64) * 64)
-        ids = np.full(f_pad, n_bucket, np.int32)  # padding -> overflow bin
-        ids[:n_frames] = np.asarray(shot_ids, np.int32)
-        keep_p = np.zeros(f_pad, np.float32)
-        keep_p[:n_frames] = np.asarray(keep, np.float32)
-        pooled, counts = self._pool_jit(
-            tuple(pending), jnp.asarray(ids), jnp.asarray(keep_p),
-            n_bucket + 1,
-        )
+        if run_ids is None:
+            ids = np.full(f_pad, n_bucket, np.int32)  # padding -> overflow bin
+            ids[:n_frames] = np.asarray(shot_ids, np.int32)
+            keep_p = np.zeros(f_pad, np.float32)
+            keep_p[:n_frames] = np.asarray(keep, np.float32)
+            pooled, counts = self._pool_jit(
+                tuple(pending), jnp.asarray(ids), jnp.asarray(keep_p),
+                n_bucket + 1,
+            )
+        else:
+            # original-frame axis padded to its own bucket (batch_size
+            # multiples) so program count stays O(log F) per dataset
+            g_pad = max(self.batch_size, -(-n_frames // self.batch_size) * self.batch_size)
+            runs = np.zeros(g_pad, np.int32)
+            runs[:n_frames] = np.asarray(run_ids, np.int32)
+            ids = np.full(g_pad, n_bucket, np.int32)
+            ids[:n_frames] = np.asarray(shot_ids, np.int32)
+            keep_p = np.zeros(g_pad, np.float32)
+            keep_p[:n_frames] = np.asarray(keep, np.float32)
+            pooled, counts = self._pool_runs_jit(
+                tuple(pending), jnp.asarray(runs), jnp.asarray(ids),
+                jnp.asarray(keep_p), n_bucket + 1,
+            )
         pooled = np.asarray(pooled)[:n_shots]
         counts = np.asarray(counts)[:n_shots]
         return pooled, counts
