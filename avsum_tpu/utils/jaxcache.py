@@ -11,6 +11,11 @@ deployment hygiene.
 Enabled automatically by ``bench.py`` and the CLI; set
 ``AVSUM_COMPILE_CACHE=off`` to disable or ``AVSUM_COMPILE_CACHE=<dir>``
 to relocate (default ``~/.cache/avsum_tpu/xla``).
+
+Caveat: a PJRT backend must support executable serialization for entries
+to land. The axon remote-TPU tunnel used in this dev image does not (the
+cache dir stays empty there; its remote service keeps its own compile
+cache) — on standard Cloud TPU hosts and on CPU this persists normally.
 """
 
 from __future__ import annotations
