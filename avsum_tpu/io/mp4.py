@@ -137,7 +137,26 @@ def _parse_stsd(buf, s: int, e: int, track: _AudioTrack) -> None:
         # QT v1 adds 16 bytes (samples/packet etc.) — frame size still
         # derivable from codec dtype below
         pass
-    if track.fourcc in (b"raw ", b"lpcm", b"ipcm"):
+    if track.fourcc == b"ipcm":
+        # ISO/IEC 23003-5 ipcm: endianness lives in the pcmC child box
+        # (format_flags bit 0 = little-endian); absent flag = big-endian
+        entry_size = struct.unpack_from(">I", buf, pos)[0]
+        little = False
+        p = entry + 20  # past the v0 AudioSampleEntry fields
+        end = pos + entry_size
+        while p + 8 <= end:
+            bsize = struct.unpack_from(">I", buf, p)[0]
+            if bsize < 8:
+                break
+            if bytes(buf[p + 4 : p + 8]) == b"pcmC":
+                flags = buf[p + 8 + 3]  # full box: version(1)+flags(3)
+                little = bool(flags & 1)
+                break
+            p += bsize
+        track.fourcc = (
+            (b"sowt" if little else b"twos") if bits == 16 else b"raw8"
+        )
+    elif track.fourcc in (b"raw ", b"lpcm"):
         # map raw/lpcm to an int16/int8 guess from the declared bits
         track.fourcc = b"sowt" if bits == 16 else b"raw8"
     dtype = _PCM_CODECS.get(track.fourcc)
@@ -284,6 +303,8 @@ def _parse_video_track(buf, trak_s: int, trak_e: int) -> Optional[_VideoTrack]:
     track = _VideoTrack()
 
     stsd = _find(buf, stbl[0], stbl[1], b"stsd")
+    if stsd is None:
+        return None
     _, _, pos = _full_box(buf, stsd[0])
     pos += 4  # entry_count
     track.fourcc = bytes(buf[pos + 4 : pos + 8])

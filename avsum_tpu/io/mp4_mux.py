@@ -15,7 +15,7 @@ from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["write_mjpeg_mp4"]
+__all__ = ["write_mjpeg_mp4", "write_pcm_mp4"]
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
@@ -84,6 +84,90 @@ def _mdia(timescale: int, duration: int, handler: bytes, hname: bytes,
     return _box(b"mdia", mdhd + hdlr + minf)
 
 
+def _audio_trak(
+    track_id: int,
+    n_audio: int,
+    ch: int,
+    rate: int,
+    base_offset: int,
+    chunk_frames: int = 4096,
+    codec: bytes = b"sowt",
+) -> bytes:
+    """PCM-int16 audio trak (one sample = one all-channel PCM frame)."""
+    frame_bytes = 2 * ch
+    n_chunks = max(1, -(-n_audio // chunk_frames))
+    offsets = [
+        base_offset + i * chunk_frames * frame_bytes for i in range(n_chunks)
+    ]
+    last = n_audio - (n_chunks - 1) * chunk_frames
+    stsc = [(1, chunk_frames, 1)]
+    if n_chunks == 1:
+        stsc = [(1, n_audio, 1)]
+    elif last != chunk_frames:
+        stsc.append((n_chunks, last, 1))
+    stsd_a = (
+        struct.pack(">I", 36) + codec
+        + b"\x00" * 6 + struct.pack(">H", 1)   # reserved + data_ref_index
+        + struct.pack(">HH", 0, 0) + b"\x00" * 4  # version/revision/vendor
+        + struct.pack(">HH", ch, 16)           # channels, bits
+        + struct.pack(">HH", 0, 0)             # predefined, reserved
+        + struct.pack(">I", rate << 16)        # 16.16 fixed rate
+    )
+    stbl_a = _stbl(stsd_a, n_audio, 1, stsc, frame_bytes, offsets)
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    return _box(
+        b"trak",
+        _tkhd(track_id, int(round(n_audio / rate * 1000)), volume=0x0100)
+        + _mdia(rate, n_audio, b"soun", b"SoundHandler", smhd, stbl_a),
+    )
+
+
+def _quantize_pcm(samples: np.ndarray) -> np.ndarray:
+    """[T] or [T, C] float in [-1, 1] (or int16) -> int16 [T, C]."""
+    x = np.asarray(samples)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.dtype != np.int16:
+        x = (np.clip(np.asarray(x, np.float32), -1, 1) * 32767).astype(np.int16)
+    return x
+
+
+def write_pcm_mp4(
+    path: str,
+    samples: np.ndarray,
+    rate: int = 16000,
+    chunk_frames: int = 4096,
+    codec: str = "sowt",
+) -> None:
+    """Write an audio-only ISO-BMFF (.mp4/.mov) with an uncompressed PCM
+    track — the test/synthesis counterpart of :mod:`avsum_tpu.io.mp4`'s
+    demuxer (in-container audio like the reference's mp4s carried,
+    extractors.py:364-386, but PCM so it is decodable without codecs).
+
+    ``samples``: [T] or [T, C] float32 in [-1, 1] (int16-quantized) or
+    int16. ``codec``: 'sowt' (LE int16) or 'twos' (BE int16).
+    """
+    x = _quantize_pcm(samples)
+    n, ch = x.shape
+    pcm = x.astype("<i2" if codec == "sowt" else ">i2").tobytes()
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", pcm)
+    trak = _audio_trak(
+        1, n, ch, rate, len(ftyp) + 8, chunk_frames, codec.encode()
+    )
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, int(round(n / rate * 1000)))
+        + struct.pack(">IH", 0x10000, 0x0100) + b"\x00" * 10
+        + _UNITY_MATRIX
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    with open(path, "wb") as fh:
+        fh.write(ftyp + mdat + moov)
+
+
 def write_mjpeg_mp4(
     path: str,
     frames: np.ndarray,
@@ -107,11 +191,7 @@ def write_mjpeg_mp4(
     n_audio = 0
     ch = 1
     if audio is not None:
-        x = np.asarray(audio)
-        if x.ndim == 1:
-            x = x[:, None]
-        if x.dtype != np.int16:
-            x = (np.clip(np.asarray(x, np.float32), -1, 1) * 32767).astype(np.int16)
+        x = _quantize_pcm(audio)
         n_audio, ch = x.shape
         pcm = x.astype("<i2").tobytes()
 
@@ -123,7 +203,8 @@ def write_mjpeg_mp4(
 
     vts = max(1, round(fps * 1000))
     vdelta = 1000
-    vdur = t * vdelta
+    vdur = t * vdelta  # media-timescale ticks (mdhd)
+    movie_dur = int(round(t / fps * 1000))  # movie-timescale (tkhd/mvhd)
 
     # VisualSampleEntry for 'jpeg'
     stsd_v = (
@@ -143,38 +224,13 @@ def write_mjpeg_mp4(
     vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     trak_v = _box(
         b"trak",
-        _tkhd(1, vdur, width=w, height=h)
+        _tkhd(1, movie_dur, width=w, height=h)
         + _mdia(vts, vdur, b"vide", b"VideoHandler", vmhd, stbl_v),
     )
 
     traks = trak_v
     if audio is not None and n_audio:
-        chunk_frames = 4096
-        frame_bytes = 2 * ch
-        n_chunks = max(1, -(-n_audio // chunk_frames))
-        a_offsets = [audio_base + i * chunk_frames * frame_bytes for i in range(n_chunks)]
-        last = n_audio - (n_chunks - 1) * chunk_frames
-        stsc_a = [(1, chunk_frames, 1)]
-        if n_chunks == 1:
-            stsc_a = [(1, n_audio, 1)]
-        elif last != chunk_frames:
-            stsc_a.append((n_chunks, last, 1))
-        stsd_a = (
-            struct.pack(">I", 36) + b"sowt"
-            + b"\x00" * 6 + struct.pack(">H", 1)
-            + struct.pack(">HH", 0, 0) + b"\x00" * 4
-            + struct.pack(">HH", ch, 16)
-            + struct.pack(">HH", 0, 0)
-            + struct.pack(">I", audio_rate << 16)
-        )
-        stbl_a = _stbl(stsd_a, n_audio, 1, stsc_a, frame_bytes, a_offsets)
-        smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
-        trak_a = _box(
-            b"trak",
-            _tkhd(2, n_audio, volume=0x0100)
-            + _mdia(audio_rate, n_audio, b"soun", b"SoundHandler", smhd, stbl_a),
-        )
-        traks += trak_a
+        traks += _audio_trak(2, n_audio, ch, audio_rate, audio_base)
 
     mvhd = _full(
         b"mvhd", 0, 0,

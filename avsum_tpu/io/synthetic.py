@@ -95,93 +95,9 @@ def write_pcm_mp4(
     chunk_frames: int = 4096,
     codec: str = "sowt",
 ) -> None:
-    """Write an audio-only ISO-BMFF (.mp4/.mov) with an uncompressed PCM
-    track — the test/synthesis counterpart of :mod:`avsum_tpu.io.mp4`'s
-    demuxer (in-container audio like the reference's mp4s carried,
-    extractors.py:364-386, but PCM so it is decodable without codecs).
+    """Audio-only PCM ISO-BMFF writer — delegates to the shared muxer
+    (:func:`avsum_tpu.io.mp4_mux.write_pcm_mp4`); kept here as the
+    synthetic-media entry point."""
+    from avsum_tpu.io.mp4_mux import write_pcm_mp4 as _impl
 
-    ``samples``: [T] or [T, C] float32 in [-1, 1] (int16-quantized) or
-    int16. ``codec``: 'sowt' (LE int16) or 'twos' (BE int16).
-    """
-    import struct
-
-    x = np.asarray(samples)
-    if x.ndim == 1:
-        x = x[:, None]
-    if x.dtype != np.int16:
-        x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
-        x = (x * 32767.0).astype(np.int16)
-    n, ch = x.shape
-    frame_bytes = 2 * ch
-    pcm = x.astype("<i2" if codec == "sowt" else ">i2").tobytes()
-
-    def box(btype: bytes, payload: bytes) -> bytes:
-        return struct.pack(">I", 8 + len(payload)) + btype + payload
-
-    def full(btype: bytes, ver: int, flags: int, payload: bytes) -> bytes:
-        return box(btype, struct.pack(">I", (ver << 24) | flags) + payload)
-
-    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
-    mdat_header_at = len(ftyp)
-    mdat = box(b"mdat", pcm)
-    data_start = mdat_header_at + 8  # absolute offset of the first chunk
-
-    n_chunks = max(1, -(-n // chunk_frames))
-    chunk_offsets = [data_start + i * chunk_frames * frame_bytes
-                     for i in range(n_chunks)]
-    last = n - (n_chunks - 1) * chunk_frames
-
-    # sample tables: one "sample" = one PCM frame of all channels
-    stsd_entry = (
-        struct.pack(">I", 36) + codec.encode()
-        + b"\x00" * 6 + struct.pack(">H", 1)   # reserved + data_ref_index
-        + struct.pack(">HH", 0, 0) + b"\x00" * 4  # version/revision/vendor
-        + struct.pack(">HH", ch, 16)           # channels, bits
-        + struct.pack(">HH", 0, 0)             # predefined, reserved
-        + struct.pack(">I", rate << 16)        # 16.16 fixed rate
-    )
-    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
-    stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
-    stsc_entries = [(1, chunk_frames, 1)]
-    if last != chunk_frames and n_chunks > 1:
-        stsc_entries.append((n_chunks, last, 1))
-    elif n_chunks == 1:
-        stsc_entries = [(1, n, 1)]
-    stsc = full(
-        b"stsc", 0, 0,
-        struct.pack(">I", len(stsc_entries))
-        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
-    )
-    stsz = full(b"stsz", 0, 0, struct.pack(">II", frame_bytes, n))
-    stco = full(
-        b"stco", 0, 0,
-        struct.pack(">I", n_chunks)
-        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
-    )
-    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
-    url = full(b"url ", 0, 1, b"")
-    dinf = box(b"dinf", full(b"dref", 0, 0, struct.pack(">I", 1) + url))
-    smhd = full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
-    minf = box(b"minf", smhd + dinf + stbl)
-    hdlr = full(b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"SoundHandler\x00")
-    mdhd = full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, rate, n, 0x55C4, 0))
-    mdia = box(b"mdia", mdhd + hdlr + minf)
-    tkhd = full(
-        b"tkhd", 0, 7,
-        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", n)
-        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
-        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-        + struct.pack(">II", 0, 0),
-    )
-    trak = box(b"trak", tkhd + mdia)
-    mvhd = full(
-        b"mvhd", 0, 0,
-        struct.pack(">IIII", 0, 0, rate, n)
-        + struct.pack(">IH", 0x10000, 0x0100) + b"\x00" * 10
-        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-        + b"\x00" * 24 + struct.pack(">I", 2),
-    )
-    moov = box(b"moov", mvhd + trak)
-
-    with open(path, "wb") as fh:
-        fh.write(ftyp + mdat + moov)
+    _impl(path, samples, rate=rate, chunk_frames=chunk_frames, codec=codec)

@@ -287,6 +287,20 @@ class AVPipeline:
         det_thread.start()
         wav_thread.start()
 
+        try:
+            return self._dispatch_visual(reader, video_id, frame_idx, host_work,
+                                         det_thread, wav_thread, fps, n_frames)
+        except Exception:
+            # a failed dispatch must not orphan the host threads (they hold
+            # the reader); join before the caller closes it
+            det_thread.join()
+            wav_thread.join()
+            raise
+
+    def _dispatch_visual(
+        self, reader, video_id, frame_idx, host_work, det_thread, wav_thread,
+        fps, n_frames,
+    ) -> Dict:
         with annotate("avsum.visual_dispatch"):
             # block-streamed dispatch: decode/resize block i+1 on host while
             # the device consumes block i (enqueued async). Host memory stays
@@ -421,7 +435,10 @@ class AVPipeline:
         )
 
     def preprocess_dataset(
-        self, input_dir: str, cache: FeatureCache, extensions=(".y4m", ".mp4")
+        self,
+        input_dir: str,
+        cache: FeatureCache,
+        extensions=(".y4m", ".mp4", ".mov", ".m4v"),
     ) -> List[str]:
         """Sweep a directory into the feature cache. Per-item isolation:
         a failing video is logged and dropped, the sweep continues
@@ -445,7 +462,11 @@ class AVPipeline:
                 and hasattr(reader, "content_scores")
                 and hasattr(reader, "read_yuv420")
             ):
-                st = self._begin_video(reader, video_id)
+                try:
+                    st = self._begin_video(reader, video_id)
+                except Exception:
+                    reader.close()  # _begin_video joined its own threads
+                    raise
 
                 def _finish():
                     try:

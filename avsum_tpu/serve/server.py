@@ -97,6 +97,7 @@ class SummarizeServer:
         self.params = params
         self._device_lock = _FifoLock()
         self._ready = threading.Event()
+        self._warmup_error: Optional[str] = None
         self._stats_lock = threading.Lock()
         self._stats = {
             "requests": 0,
@@ -116,24 +117,34 @@ class SummarizeServer:
         return self._httpd.server_address[1]
 
     def warmup(self) -> None:
-        """Compile the hot programs on a synthetic clip, then mark ready."""
+        """Compile the hot programs on a synthetic clip, then mark ready.
+
+        A failed warmup still releases request waiters (``_ready`` is set
+        in ``finally`` — per-request isolation reports errors per call),
+        but ``/readyz`` keeps returning 503 with the warmup error so load
+        balancers don't route to a degraded replica."""
         import os
         import tempfile
 
-        if self.serve_config.warmup:
-            from avsum_tpu.io.synthetic import write_scene_video
+        try:
+            if self.serve_config.warmup:
+                from avsum_tpu.io.synthetic import write_scene_video
 
-            with tempfile.TemporaryDirectory() as td:
-                stem = os.path.join(td, "warmup")
-                write_scene_video(
-                    stem, n_scenes=2, seed=0, fps=8.0, height=64, width=96,
-                    scene_len_frames=(8, 12),
-                )
-                with self._device_lock:
-                    self.pipeline.summarize(
-                        stem + ".y4m", self.model, self.params
+                with tempfile.TemporaryDirectory() as td:
+                    stem = os.path.join(td, "warmup")
+                    write_scene_video(
+                        stem, n_scenes=2, seed=0, fps=8.0, height=64,
+                        width=96, scene_len_frames=(8, 12),
                     )
-        self._ready.set()
+                    with self._device_lock:
+                        self.pipeline.summarize(
+                            stem + ".y4m", self.model, self.params
+                        )
+        except Exception as e:  # noqa: BLE001 — degraded, not wedged
+            self._warmup_error = str(e)
+            log.error("warmup failed (serving degraded): %s", e)
+        finally:
+            self._ready.set()
 
     def start(self, block: bool = False) -> None:
         server = self
@@ -154,6 +165,14 @@ class SummarizeServer:
                 if self.path == "/healthz":
                     return self._json(200, {"status": "ok"})
                 if self.path == "/readyz":
+                    if server._warmup_error is not None:
+                        return self._json(
+                            503,
+                            {
+                                "status": "warmup_failed",
+                                "error": server._warmup_error,
+                            },
+                        )
                     if server._ready.is_set():
                         return self._json(200, {"status": "ready"})
                     return self._json(503, {"status": "warming_up"})
@@ -170,6 +189,8 @@ class SummarizeServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(req, dict):
+                        raise ValueError(f"body must be a JSON object, got {type(req).__name__}")
                     path = req["path"]
                 except (ValueError, KeyError) as e:
                     return self._json(
