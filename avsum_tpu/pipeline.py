@@ -540,10 +540,52 @@ class AVPipeline:
         budget_fraction: Optional[float] = None,
     ) -> Dict:
         """raw video -> shot scores -> knapsack summary segments."""
+        p = self.process_video(video_path)
+        return self._score_summary(p, model, params, budget_fraction)
+
+    def summarize_begin(
+        self,
+        video_path: str,
+        model=None,
+        params=None,
+        budget_fraction: Optional[float] = None,
+    ):
+        """Start one video's summarize (decode dispatch + host threads) and
+        return a zero-arg finisher producing the summary dict — so a serving
+        loop can overlap video i+1's host work under video i's device work
+        (the same begin/finish pipelining preprocess_dataset uses)."""
+        reader = open_video(video_path)
+        if (
+            self.config.visual.sample_fps > 0
+            and hasattr(reader, "content_scores")
+            and hasattr(reader, "read_yuv420")
+        ):
+            try:
+                st = self._begin_video(
+                    reader,
+                    os.path.splitext(os.path.basename(video_path))[0],
+                )
+            except Exception:
+                reader.close()
+                raise
+
+            def _finish():
+                try:
+                    p = self._finish_video(st)
+                finally:
+                    reader.close()
+                return self._score_summary(p, model, params, budget_fraction)
+
+            return _finish
+        reader.close()
+        return lambda: self.summarize(video_path, model, params, budget_fraction)
+
+    def _score_summary(
+        self, p: ProcessedVideo, model, params, budget_fraction: Optional[float]
+    ) -> Dict:
         import jax
         import jax.numpy as jnp
 
-        p = self.process_video(video_path)
         if model is not None and params is not None:
             params = jax.device_put(params)  # no-op if already resident
             if self._scorer_jit is None or self._scorer_model is not model:

@@ -6,13 +6,18 @@ module is the deployment surface for the on-the-fly summarize path
 (BASELINE config 3).
 
 TPU-first design:
-- ONE pipeline instance owns the chip. All jit programs (backbone
-  batches, audio front-end, scorer buckets) compile on the first request
-  per shape bucket and stay cached for the process lifetime; an optional
-  synthetic warmup pre-compiles them before the server reports ready.
-- Device access is serialized through a FIFO ticket lock — HTTP threads
-  never interleave device dispatch mid-video, and requests are served in
-  arrival order (no starvation under load).
+- ONE pipeline instance owns the chip, driven by ONE worker thread. All
+  jit programs (backbone batches, audio front-end, scorer buckets)
+  compile on the first request per shape bucket and stay cached for the
+  process lifetime; warmup pre-compiles them before the server reports
+  ready.
+- Requests are served in FIFO arrival order through a queue, and the
+  worker PIPELINES consecutive requests: request i+1's host work
+  (decode, resize, detection threads) starts while request i's device
+  work (embedding, pooling, scoring) is still in flight — the same
+  begin/finish overlap the preprocess sweep uses
+  (``AVPipeline.summarize_begin``). Sustained throughput under load
+  approaches max(host, device+link) instead of their sum.
 - Params are pinned on device once (pipeline internals), so a request
   ships only its video's bytes, never weights.
 
@@ -26,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -46,28 +52,23 @@ class ServeConfig:
     warmup: bool = True
 
 
-class _FifoLock:
-    """A FIFO-fair lock: waiters acquire strictly in arrival order."""
+class _Request:
+    """One queued summarize call; the worker fills (code, payload)."""
 
-    def __init__(self):
-        self._mutex = threading.Lock()
-        self._queue = []
+    __slots__ = ("path", "budget", "done", "code", "payload", "t0")
 
-    def __enter__(self):
-        ev = threading.Event()
-        with self._mutex:
-            self._queue.append(ev)
-            first = len(self._queue) == 1
-        if not first:
-            ev.wait()
-        return self
+    def __init__(self, path: str, budget: Optional[float]):
+        self.path = path
+        self.budget = budget
+        self.done = threading.Event()
+        self.code = 500
+        self.payload = {"error": "request dropped"}
+        self.t0 = time.perf_counter()
 
-    def __exit__(self, *exc):
-        with self._mutex:
-            self._queue.pop(0)
-            if self._queue:
-                self._queue[0].set()
-        return False
+    def finish(self, code: int, payload: dict) -> None:
+        self.code = code
+        self.payload = payload
+        self.done.set()
 
 
 class SummarizeServer:
@@ -75,7 +76,8 @@ class SummarizeServer:
 
     Endpoints:
       GET  /healthz       -> 200 {"status": "ok"} (process liveness)
-      GET  /readyz        -> 200 once warmup finished, 503 before
+      GET  /readyz        -> 200 once warmup finished; 503 while warming
+                             or (permanently) after a failed warmup
       GET  /v1/stats      -> request counters + latency
       POST /v1/summarize  -> {"path": ..., "budget_fraction"?: float}
                              -> summary JSON (scores, segments, fps)
@@ -95,7 +97,9 @@ class SummarizeServer:
         self.pipeline = AVPipeline(config)
         self.model = model
         self.params = params
-        self._device_lock = _FifoLock()
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._running = False
+        self._worker: Optional[threading.Thread] = None
         self._ready = threading.Event()
         self._warmup_error: Optional[str] = None
         self._stats_lock = threading.Lock()
@@ -116,13 +120,81 @@ class SummarizeServer:
         assert self._httpd is not None, "server not started"
         return self._httpd.server_address[1]
 
+    # ------------------------------------------------------------------
+    # worker: the single pipeline owner, with request pipelining
+    # ------------------------------------------------------------------
+
+    def _worker_loop(self) -> None:
+        in_flight = None  # (request, finisher)
+        while self._running or in_flight is not None:
+            try:
+                # with work in flight, only PEEK briefly for a successor to
+                # pipeline behind it; otherwise block until work arrives
+                req = self._queue.get(timeout=0.02 if in_flight else 0.2)
+            except queue.Empty:
+                req = None
+            if req is None:
+                if in_flight is not None:
+                    self._complete(*in_flight)
+                    in_flight = None
+                continue
+            try:
+                fin = self.pipeline.summarize_begin(
+                    req.path, self.model, self.params, req.budget
+                )
+            except Exception as e:  # noqa: BLE001 — per-request isolation
+                self._fail(req, e)
+                continue
+            if in_flight is not None:
+                self._complete(*in_flight)
+            in_flight = (req, fin)
+        # shutdown: release any requests still queued
+        while True:
+            try:
+                self._fail(self._queue.get_nowait(), RuntimeError("server stopped"))
+            except queue.Empty:
+                break
+
+    def _complete(self, req: _Request, finisher) -> None:
+        try:
+            result = finisher()
+        except Exception as e:  # noqa: BLE001 — per-request isolation
+            self._fail(req, e)
+            return
+        dt = time.perf_counter() - req.t0
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["frames"] += int(result["n_frames"])
+            ewma = self._stats["latency_ewma_s"]
+            self._stats["latency_ewma_s"] = round(
+                dt if ewma == 0.0 else 0.8 * ewma + 0.2 * dt, 4
+            )
+        req.finish(200, {
+            "video_id": result["video_id"],
+            "n_frames": int(result["n_frames"]),
+            "fps": float(result["fps"]),
+            "segments": [[int(a), int(b)] for a, b in result["segments"]],
+            "shot_scores": [float(s) for s in result["scores"]],
+            "latency_s": round(dt, 3),
+        })
+
+    def _fail(self, req: _Request, exc: Exception) -> None:
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["failures"] += 1
+        log.error("summarize %s failed: %s", req.path, exc)
+        req.finish(500, {"error": str(exc)})
+
+    # ------------------------------------------------------------------
+
     def warmup(self) -> None:
         """Compile the hot programs on a synthetic clip, then mark ready.
 
-        A failed warmup still releases request waiters (``_ready`` is set
-        in ``finally`` — per-request isolation reports errors per call),
-        but ``/readyz`` keeps returning 503 with the warmup error so load
-        balancers don't route to a degraded replica."""
+        Runs through the worker queue (the worker is the only thread that
+        touches the pipeline). A failed warmup still releases request
+        waiters (``_ready`` set in ``finally`` — per-request isolation
+        reports errors per call), but ``/readyz`` keeps returning 503
+        with the warmup error so load balancers don't route here."""
         import os
         import tempfile
 
@@ -136,10 +208,11 @@ class SummarizeServer:
                         stem, n_scenes=2, seed=0, fps=8.0, height=64,
                         width=96, scene_len_frames=(8, 12),
                     )
-                    with self._device_lock:
-                        self.pipeline.summarize(
-                            stem + ".y4m", self.model, self.params
-                        )
+                    req = _Request(stem + ".y4m", None)
+                    self._queue.put(req)
+                    req.done.wait()
+                    if req.code != 200:
+                        raise RuntimeError(req.payload.get("error", "?"))
         except Exception as e:  # noqa: BLE001 — degraded, not wedged
             self._warmup_error = str(e)
             log.error("warmup failed (serving degraded): %s", e)
@@ -190,7 +263,9 @@ class SummarizeServer:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
                     if not isinstance(req, dict):
-                        raise ValueError(f"body must be a JSON object, got {type(req).__name__}")
+                        raise ValueError(
+                            f"body must be a JSON object, got {type(req).__name__}"
+                        )
                     path = req["path"]
                 except (ValueError, KeyError) as e:
                     return self._json(
@@ -205,6 +280,9 @@ class SummarizeServer:
             (self.serve_config.host, self.serve_config.port), Handler
         )
         self._httpd.daemon_threads = True
+        self._running = True
+        self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self._worker.start()
         threading.Thread(target=self.warmup, daemon=True).start()
         if block:
             log.info("serving on %s:%d", self.serve_config.host, self.port)
@@ -221,42 +299,20 @@ class SummarizeServer:
             self._httpd.server_close()
             if self._thread is not None:
                 self._thread.join(timeout=5)
+        self._running = False
+        if self._worker is not None:
+            self._worker.join(timeout=60)
 
     # ------------------------------------------------------------------
 
     def handle_summarize(self, path: str, budget_fraction=None):
-        """One request: (http_code, payload). Device work is FIFO-ordered."""
+        """One request: (http_code, payload). FIFO order via the worker."""
         import os
 
         self._ready.wait()
         if not os.path.exists(path):
             return 404, {"error": f"no such video: {path}"}
-        t0 = time.perf_counter()
-        try:
-            with self._device_lock:
-                result = self.pipeline.summarize(
-                    path, self.model, self.params,
-                    budget_fraction=budget_fraction,
-                )
-        except Exception as e:  # noqa: BLE001 — per-request isolation
-            with self._stats_lock:
-                self._stats["requests"] += 1
-                self._stats["failures"] += 1
-            log.error("summarize %s failed: %s", path, e)
-            return 500, {"error": str(e)}
-        dt = time.perf_counter() - t0
-        with self._stats_lock:
-            self._stats["requests"] += 1
-            self._stats["frames"] += int(result["n_frames"])
-            ewma = self._stats["latency_ewma_s"]
-            self._stats["latency_ewma_s"] = round(
-                dt if ewma == 0.0 else 0.8 * ewma + 0.2 * dt, 4
-            )
-        return 200, {
-            "video_id": result["video_id"],
-            "n_frames": int(result["n_frames"]),
-            "fps": float(result["fps"]),
-            "segments": [[int(a), int(b)] for a, b in result["segments"]],
-            "shot_scores": [float(s) for s in result["scores"]],
-            "latency_s": round(dt, 3),
-        }
+        req = _Request(path, budget_fraction)
+        self._queue.put(req)
+        req.done.wait()
+        return req.code, req.payload

@@ -170,7 +170,7 @@ def test_warmup_failure_degrades_not_wedges():
     def boom(*a, **k):
         raise RuntimeError("synthetic warmup failure")
 
-    srv.pipeline.summarize = boom
+    srv.pipeline.summarize_begin = boom
     srv.start(block=False)
     try:
         srv._ready.wait(timeout=60)
