@@ -315,6 +315,42 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    cfg = _config(args)
+    from avsum_tpu.serve.export import export_scorer
+
+    if args.checkpoint:
+        model, params = _load_scorer(cfg, args.checkpoint)
+        if model is None:
+            log.error("no checkpoint in %s", args.checkpoint)
+            return 1
+    elif args.random_init:
+        import jax
+        import jax.numpy as jnp
+
+        from avsum_tpu.models import make_model
+
+        model = make_model(cfg.model)
+        params = model.init(
+            jax.random.PRNGKey(cfg.train.seed),
+            jnp.zeros((1, 8, cfg.model.visual_dim)),
+            jnp.zeros((1, 8, cfg.model.audio_dim)),
+            jnp.ones((1, 8)),
+        )["params"]
+        log.warning("exporting RANDOM-INIT weights (--random-init)")
+    else:
+        log.error("pass --checkpoint (or --random-init for a smoke artifact)")
+        return 1
+    blob = export_scorer(
+        model, params, cfg.model.visual_dim, cfg.model.audio_dim,
+        platforms=tuple(args.platforms.split(",")),
+    )
+    with open(args.output, "wb") as fh:
+        fh.write(blob)
+    log.info("wrote %s (%d bytes)", args.output, len(blob))
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="avsum",
@@ -381,6 +417,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="skip the synthetic pre-compile warmup before readiness",
     )
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "export",
+        help="export the scorer as a serialized StableHLO artifact "
+        "(weights baked in, symbolic batch/shot axes)",
+    )
+    _add_common(p)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--platforms", default="cpu,tpu")
+    p.add_argument("--random-init", action="store_true")
+    p.set_defaults(fn=cmd_export)
 
     args = parser.parse_args(argv)
     from avsum_tpu.utils.jaxcache import enable_compilation_cache

@@ -1,0 +1,59 @@
+"""StableHLO scorer export (serve/export.py): bake weights, round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsum_tpu.models import make_model
+from avsum_tpu.serve.export import export_scorer, load_scorer
+from avsum_tpu.train.config import ModelConfig
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    cfg = ModelConfig(hidden_dim=32, scorer_hidden=8)
+    model = make_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    v = jnp.zeros((1, 8, cfg.visual_dim))
+    a = jnp.zeros((1, 8, cfg.audio_dim))
+    m = jnp.ones((1, 8))
+    params = model.init(rng, v, a, m)["params"]
+    return cfg, model, params
+
+
+def test_export_roundtrip_matches_apply(scorer, tmp_path):
+    cfg, model, params = scorer
+    blob = export_scorer(
+        model, params, cfg.visual_dim, cfg.audio_dim, platforms=("cpu",)
+    )
+    path = tmp_path / "scorer.stablehlo"
+    path.write_bytes(blob)
+
+    fn = load_scorer(path.read_bytes())
+    rng = np.random.default_rng(0)
+    for b, s in [(1, 8), (2, 16), (3, 40)]:  # symbolic axes: any shape
+        v = rng.standard_normal((b, s, cfg.visual_dim)).astype(np.float32)
+        a = rng.standard_normal((b, s, cfg.audio_dim)).astype(np.float32)
+        m = np.ones((b, s), np.float32)
+        want = np.asarray(model.apply({"params": params}, v, a, m))
+        got = np.asarray(fn(v, a, m))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_needs_no_model_code(scorer):
+    """The loaded artifact scores without touching the model object."""
+    cfg, model, params = scorer
+    blob = export_scorer(
+        model, params, cfg.visual_dim, cfg.audio_dim, platforms=("cpu",)
+    )
+    fn = load_scorer(blob)
+    del model, params
+    out = np.asarray(fn(
+        np.zeros((1, 4, cfg.visual_dim), np.float32),
+        np.zeros((1, 4, cfg.audio_dim), np.float32),
+        np.ones((1, 4), np.float32),
+    ))
+    assert out.shape == (1, 4)
+    assert np.isfinite(out).all()
+    assert (out >= 0).all() and (out <= 1).all()  # sigmoid head
