@@ -300,7 +300,12 @@ def cmd_serve(args) -> int:
     from avsum_tpu.serve import ServeConfig, SummarizeServer
 
     model = params = None
-    if args.checkpoint:
+    if args.artifact:
+        from avsum_tpu.serve.export import load_scorer
+
+        with open(args.artifact, "rb") as fh:
+            model = load_scorer(fh.read())  # params stay None: baked in
+    elif args.checkpoint:
         model, params = _load_scorer(cfg, args.checkpoint)
         if model is None:
             log.error("no checkpoint in %s", args.checkpoint)
@@ -411,6 +416,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument(
+        "--artifact",
+        default=None,
+        help="serve from an exported StableHLO scorer (avsum export) "
+        "instead of a checkpoint — no model code or restore needed",
+    )
     p.add_argument(
         "--no-warmup",
         action="store_true",

@@ -584,9 +584,23 @@ class AVPipeline:
         self, p: ProcessedVideo, model, params, budget_fraction: Optional[float]
     ) -> Dict:
         import jax
-        import jax.numpy as jnp
 
-        if model is not None and params is not None:
+        if model is not None and params is None and callable(model):
+            # pre-compiled scorer artifact (serve/export.py::load_scorer):
+            # call directly — weights are baked in, axes are symbolic, so
+            # the same padded buckets reuse its compilation cache
+            s = len(p.visual)
+            from avsum_tpu.parallel.mesh import pad_to_multiple
+
+            s_pad = pad_to_multiple(s, 32)
+            visual = np.zeros((1, s_pad, p.visual.shape[1]), np.float32)
+            audio = np.zeros((1, s_pad, p.audio.shape[1]), np.float32)
+            mask = np.zeros((1, s_pad), np.float32)
+            visual[0, :s] = p.visual
+            audio[0, :s] = p.audio
+            mask[0, :s] = 1.0
+            scores = np.asarray(model(visual, audio, mask))[0, :s]
+        elif model is not None and params is not None:
             params = jax.device_put(params)  # no-op if already resident
             if self._scorer_jit is None or self._scorer_model is not model:
                 self._scorer_jit = jax.jit(

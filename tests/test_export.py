@@ -57,3 +57,41 @@ def test_export_needs_no_model_code(scorer):
     assert out.shape == (1, 4)
     assert np.isfinite(out).all()
     assert (out >= 0).all() and (out <= 1).all()  # sigmoid head
+
+
+def test_pipeline_scores_with_artifact(scorer, tmp_path):
+    """summarize(path, artifact_fn, None) == summarize(path, model, params)."""
+    from avsum_tpu.io.synthetic import write_scene_video
+    from avsum_tpu.pipeline import AVPipeline
+    from avsum_tpu.train.config import load_config
+
+    cfg_m, model, params = scorer
+    stem = str(tmp_path / "clip")
+    write_scene_video(
+        stem, n_scenes=3, seed=3, fps=8.0, height=64, width=96,
+        scene_len_frames=(10, 16),
+    )
+    cfg = load_config(
+        overrides=[
+            "visual.backbone=tiny",
+            "visual.dtype=float32",
+            "audio.silence_fallback=true",
+            f"model.hidden_dim={cfg_m.hidden_dim}",
+            f"model.scorer_hidden={cfg_m.scorer_hidden}",
+        ]
+    )
+    pipe = AVPipeline(cfg)
+    with_model = pipe.summarize(stem + ".y4m", model, params)
+    artifact = load_scorer(
+        export_scorer(
+            model, params, cfg_m.visual_dim, cfg_m.audio_dim,
+            platforms=("cpu",),
+        )
+    )
+    with_artifact = pipe.summarize(stem + ".y4m", artifact, None)
+    np.testing.assert_allclose(
+        with_artifact["scores"], with_model["scores"], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        with_artifact["segments"], with_model["segments"]
+    )
