@@ -110,11 +110,20 @@ def replicated() -> P:
 
 
 def shard_batch(x, mesh: Mesh, seq_axis: Optional[int] = 1):
-    """Place a host array onto the mesh with batch/data + seq sharding."""
+    """Place a host array onto the mesh with batch/data + seq sharding.
+
+    On a 1-device mesh plain placement is semantically identical and
+    avoids a per-call reshard pathology some PJRT backends have with
+    committed NamedSharding inputs (see train/steps.py::shard_batch_dict).
+    """
+    if mesh.size == 1:
+        return jax.device_put(x)
     return jax.device_put(x, NamedSharding(mesh, batch_spec(np.ndim(x), seq_axis)))
 
 
 def shard_replicated(x, mesh: Mesh):
+    if mesh.size == 1:
+        return jax.device_put(x)
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 

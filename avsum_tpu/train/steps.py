@@ -99,6 +99,12 @@ def pad_batch_for_mesh(batch: Batch, mesh: Mesh) -> Batch:
 
 def shard_batch_dict(batch: Batch, mesh: Mesh) -> Batch:
     batch = pad_batch_for_mesh(batch, mesh)
+    if mesh.size == 1:
+        # single-device mesh: plain placement is semantically identical,
+        # and committed NamedSharding inputs hit a pathological per-call
+        # reshard on some PJRT backends (measured 13 ms -> 3.7 s/step
+        # through the axon remote-TPU tunnel)
+        return {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
     shardings = batch_shardings(mesh)
     return {k: jax.device_put(np.asarray(v), shardings[k]) for k, v in batch.items()}
 
@@ -177,7 +183,9 @@ def make_train_step(
         }
         return new_state, metrics
 
-    if mesh is None:
+    if mesh is None or mesh.size == 1:
+        # sharding annotations are meaningless on one device and trigger
+        # the same per-call reshard pathology shard_batch_dict documents
         return jax.jit(train_step, donate_argnums=0)
 
     replicated = NamedSharding(mesh, P())
@@ -209,7 +217,7 @@ def make_eval_step(model, mesh: Optional[Mesh] = None):
             "loss": masked_mse(preds, batch["targets"], batch["mask"]),
         }
 
-    if mesh is None:
+    if mesh is None or mesh.size == 1:
         return jax.jit(eval_step)
     replicated = NamedSharding(mesh, P())
     bs = batch_shardings(mesh)
