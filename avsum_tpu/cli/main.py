@@ -442,6 +442,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_export)
 
     args = parser.parse_args(argv)
+    import os
+
+    plat = os.environ.get("AVSUM_PLATFORM")
+    if plat:
+        # unlike the JAX_PLATFORMS env var (which some PJRT plugins ignore),
+        # the config API reliably selects the platform pre-initialization
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     from avsum_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -126,7 +126,7 @@ class SummarizeServer:
 
     def _worker_loop(self) -> None:
         in_flight = None  # (request, finisher)
-        while self._running or in_flight is not None:
+        while True:
             try:
                 # with work in flight, only PEEK briefly for a successor to
                 # pipeline behind it; otherwise block until work arrives
@@ -137,6 +137,9 @@ class SummarizeServer:
                 if in_flight is not None:
                     self._complete(*in_flight)
                     in_flight = None
+                    continue
+                if not self._running:
+                    break  # graceful drain done: queue empty, nothing in flight
                 continue
             try:
                 fin = self.pipeline.summarize_begin(
@@ -148,7 +151,7 @@ class SummarizeServer:
             if in_flight is not None:
                 self._complete(*in_flight)
             in_flight = (req, fin)
-        # shutdown: release any requests still queued
+        # safety net for a request that raced the drain check
         while True:
             try:
                 self._fail(self._queue.get_nowait(), RuntimeError("server stopped"))
@@ -285,8 +288,23 @@ class SummarizeServer:
         self._worker.start()
         threading.Thread(target=self.warmup, daemon=True).start()
         if block:
+            import signal
+
+            def _graceful(signum, frame):
+                log.info("signal %d: draining in-flight work, shutting down",
+                         signum)
+                # stop() joins serve_forever; must run off this thread
+                threading.Thread(target=self.stop, daemon=True).start()
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    signal.signal(sig, _graceful)
+                except ValueError:
+                    pass  # not the main thread: rely on external stop()
             log.info("serving on %s:%d", self.serve_config.host, self.port)
             self._httpd.serve_forever()
+            if self._worker is not None:
+                self._worker.join(timeout=600)  # finish draining
         else:
             self._thread = threading.Thread(
                 target=self._httpd.serve_forever, daemon=True
@@ -310,6 +328,8 @@ class SummarizeServer:
         import os
 
         self._ready.wait()
+        if not self._running:
+            return 503, {"error": "server is shutting down"}
         if not os.path.exists(path):
             return 404, {"error": f"no such video: {path}"}
         req = _Request(path, budget_fraction)

@@ -146,3 +146,78 @@ def test_cli_serve_parser():
     with pytest.raises(SystemExit) as e:
         main(["serve", "--help"])
     assert e.value.code == 0
+
+
+def test_sigterm_drains_and_exits(tmp_path):
+    """A blocking `serve` process finishes queued work on SIGTERM, then
+    exits cleanly (graceful drain)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from avsum_tpu.io.synthetic import write_scene_video
+
+    import socket
+
+    stem = str(tmp_path / "clip")
+    write_scene_video(
+        stem, n_scenes=2, seed=8, fps=8.0, height=64, width=96,
+        scene_len_frames=(8, 12),
+    )
+    with socket.socket() as s:  # find a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, AVSUM_PLATFORM="cpu")
+    errlog = open(str(tmp_path / "serve.err"), "w+")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "avsum_tpu.cli", "serve", "--port", str(port),
+         "--set", "visual.backbone=tiny",
+         "--set", "visual.dtype=float32",
+         "--set", "audio.silence_fallback=true"],
+        env=env, cwd="/root/repo",
+        stdout=subprocess.DEVNULL, stderr=errlog,
+    )
+    try:
+        # readiness includes the warmup compiles of a fresh process
+        deadline = time.time() + 420
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                errlog.seek(0)
+                raise AssertionError(
+                    f"server died rc={proc.returncode}:\n{errlog.read()[-2000:]}"
+                )
+            try:
+                code, _ = _request_port(port, "GET", "/readyz")
+                if code == 200:
+                    break
+            except OSError:
+                pass
+            time.sleep(1)
+        else:
+            errlog.seek(0)
+            raise AssertionError(
+                "server never became ready:\n" + errlog.read()[-2000:]
+            )
+        code, out = _request_port(
+            port, "POST", "/v1/summarize", {"path": stem + ".y4m"}
+        )
+        assert code == 200
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=120) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def _request_port(port, method, path, body=None):
+    conn = HTTPConnection("127.0.0.1", port, timeout=120)
+    try:
+        conn.request(
+            method, path, body=json.dumps(body) if body is not None else None
+        )
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read() or b"{}")
+    finally:
+        conn.close()
