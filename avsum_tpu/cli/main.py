@@ -312,7 +312,12 @@ def cmd_serve(args) -> int:
             return 1
     server = SummarizeServer(
         cfg,
-        ServeConfig(host=args.host, port=args.port, warmup=not args.no_warmup),
+        ServeConfig(
+            host=args.host,
+            port=args.port,
+            warmup=not args.no_warmup,
+            access_log=args.access_log or "",
+        ),
         model=model,
         params=params,
     )
@@ -426,6 +431,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         "--no-warmup",
         action="store_true",
         help="skip the synthetic pre-compile warmup before readiness",
+    )
+    p.add_argument(
+        "--access-log",
+        default=None,
+        metavar="PATH",
+        help="JSONL access log (one line per summarize request)",
     )
     p.set_defaults(fn=cmd_serve)
 

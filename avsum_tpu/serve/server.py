@@ -50,6 +50,8 @@ class ServeConfig:
     # pre-compile the hot jit programs with a synthetic clip before
     # reporting ready (first real request then hits warm caches)
     warmup: bool = True
+    # JSONL access log (one line per summarize request); "" disables
+    access_log: str = ""
 
 
 class _Request:
@@ -158,6 +160,22 @@ class SummarizeServer:
             except queue.Empty:
                 break
 
+    def _access_log(self, req: _Request, code: int, extra: dict) -> None:
+        if not self.serve_config.access_log:
+            return
+        record = {
+            "ts": round(time.time(), 3),
+            "path": req.path,
+            "code": code,
+            "latency_s": round(time.perf_counter() - req.t0, 3),
+            **extra,
+        }
+        try:
+            with open(self.serve_config.access_log, "a") as fh:
+                fh.write(json.dumps(record) + "\n")
+        except OSError as e:
+            log.warning("access log write failed: %s", e)
+
     def _complete(self, req: _Request, finisher) -> None:
         try:
             result = finisher()
@@ -172,6 +190,11 @@ class SummarizeServer:
             self._stats["latency_ewma_s"] = round(
                 dt if ewma == 0.0 else 0.8 * ewma + 0.2 * dt, 4
             )
+        self._access_log(
+            req, 200,
+            {"n_frames": int(result["n_frames"]),
+             "segments": len(result["segments"])},
+        )
         req.finish(200, {
             "video_id": result["video_id"],
             "n_frames": int(result["n_frames"]),
@@ -186,6 +209,7 @@ class SummarizeServer:
             self._stats["requests"] += 1
             self._stats["failures"] += 1
         log.error("summarize %s failed: %s", req.path, exc)
+        self._access_log(req, 500, {"error": str(exc)[:200]})
         req.finish(500, {"error": str(exc)})
 
     # ------------------------------------------------------------------

@@ -221,3 +221,32 @@ def _request_port(port, method, path, body=None):
         return resp.status, json.loads(resp.read() or b"{}")
     finally:
         conn.close()
+
+
+def test_access_log_records_requests(tmp_path, video):
+    log_path = str(tmp_path / "access.jsonl")
+    cfg = load_config(
+        overrides=[
+            "visual.backbone=tiny",
+            "visual.dtype=float32",
+            "audio.silence_fallback=true",
+        ]
+    )
+    srv = SummarizeServer(
+        cfg, ServeConfig(port=0, warmup=False, access_log=log_path)
+    )
+    srv.start(block=False)
+    try:
+        srv._ready.wait(timeout=60)
+        code, _ = _request(srv, "POST", "/v1/summarize", {"path": video})
+        assert code == 200
+        code, _ = _request(
+            srv, "POST", "/v1/summarize", {"path": video, "budget_fraction": -1}
+        )
+    finally:
+        srv.stop()
+    lines = [json.loads(ln) for ln in open(log_path)]
+    assert len(lines) >= 1
+    ok = [ln for ln in lines if ln["code"] == 200]
+    assert ok and ok[0]["path"] == video
+    assert ok[0]["n_frames"] > 0 and ok[0]["latency_s"] > 0
