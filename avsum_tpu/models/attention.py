@@ -105,8 +105,10 @@ class MultiHeadSelfAttention(nn.Module):
 
         # the flash kernel pads S up to its 512-token blocks; below that the
         # XLA attention is strictly cheaper (and was measured faster until
-        # S ~ 7k), so short sequences always take the XLA path
-        use_pallas = self.use_pallas and s >= 512
+        # S ~ 7k), so short sequences always take the XLA path. A symbolic
+        # S (jax.export shape polymorphism) can't answer the comparison and
+        # Pallas needs concrete block shapes anyway -> XLA path for export.
+        use_pallas = self.use_pallas and isinstance(s, int) and s >= 512
 
         if self.ring_mesh is not None:
             from avsum_tpu.parallel.mesh import AXIS_DATA, AXIS_SEQ

@@ -117,13 +117,13 @@ def shard_batch(x, mesh: Mesh, seq_axis: Optional[int] = 1):
     committed NamedSharding inputs (see train/steps.py::shard_batch_dict).
     """
     if mesh.size == 1:
-        return jax.device_put(x)
+        return jax.device_put(x, mesh.devices.flat[0])
     return jax.device_put(x, NamedSharding(mesh, batch_spec(np.ndim(x), seq_axis)))
 
 
 def shard_replicated(x, mesh: Mesh):
     if mesh.size == 1:
-        return jax.device_put(x)
+        return jax.device_put(x, mesh.devices.flat[0])
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 

@@ -164,78 +164,110 @@ class AVPipeline:
     # ------------------------------------------------------------------
 
     def process_video(self, video_path: str) -> ProcessedVideo:
-        video_id = os.path.splitext(os.path.basename(video_path))[0]
+        return self._begin_processed(video_path)()
+
+    def _fast_capable(self, reader) -> bool:
+        return (
+            self.config.visual.sample_fps > 0
+            and hasattr(reader, "content_scores")
+            and hasattr(reader, "read_yuv420")
+        )
+
+    def _begin_processed(self, video_path: str):
+        """Open one video and start its processing; returns a zero-arg
+        finisher producing the ProcessedVideo. On the native fast path the
+        host threads + device dispatch begin NOW (so callers can pipeline
+        video i+1 under video i — preprocess sweep, serving worker); other
+        readers defer to a synchronous finisher on the already-open reader.
+        """
         reader = open_video(video_path)
-        try:
-            fps, n_frames = reader.fps, reader.n_frames
-            if (
-                self.config.visual.sample_fps > 0
-                and hasattr(reader, "content_scores")
-                and hasattr(reader, "read_yuv420")
-            ):
-                return self._process_video_overlapped(reader, video_id)
-            with annotate("avsum.shot_detect"):
-                scale = self._detect_downscale(reader.width)
-                if hasattr(reader, "content_scores"):
-                    # native host-side path: zero bytes cross the host->TPU
-                    # link for detection; hierarchical two-pass scoring
-                    # (exact cuts at ~1/5 the cost of a full fine pass)
-                    from avsum_tpu.temporal.shots import (
-                        boundaries_from_cuts,
-                        cuts_from_scores,
-                        refined_content_scores,
-                    )
+        video_id = os.path.splitext(os.path.basename(video_path))[0]
+        if self._fast_capable(reader):
+            try:
+                st = self._begin_video(reader, video_id)
+            except Exception:
+                reader.close()  # _begin_video joined its own threads
+                raise
 
-                    scores = refined_content_scores(
-                        reader, scale, self.detector.threshold
-                    )
-                    cuts = cuts_from_scores(
-                        scores, self.detector.threshold, self.detector.min_scene_len
-                    )
-                    boundaries = boundaries_from_cuts(cuts, n_frames)
-                    total = n_frames
-                else:
-                    boundaries, total = detect_shots_streaming(
-                        self._stream_scaled_blocks(reader, scale), self.detector
-                    )
-            if total != n_frames:
-                n_frames = total
-            if len(boundaries) == 0:
-                boundaries = np.array([[0, n_frames]], np.int64)
+            def _finish():
+                try:
+                    return self._finish_video(st)
+                finally:
+                    reader.close()
 
-            with annotate("avsum.visual_features"):
-                if self.config.visual.sample_fps > 0:
-                    stride = max(1, round(fps / self.config.visual.sample_fps))
-                else:
-                    stride = self.config.visual.frame_stride
-                frame_idx, shot_ids = sample_shot_frames(
-                    boundaries,
-                    stride,
-                    self.config.visual.max_frames_per_shot,
+            return _finish
+
+        def _finish_sync():
+            try:
+                return self._process_video_classic(reader, video_id)
+            finally:
+                reader.close()
+
+        return _finish_sync
+
+    def _process_video_classic(self, reader, video_id: str) -> ProcessedVideo:
+        """Synchronous decode->detect->features path for readers without the
+        native fast interface (streaming detection, whole-read features)."""
+        fps, n_frames = reader.fps, reader.n_frames
+        with annotate("avsum.shot_detect"):
+            scale = self._detect_downscale(reader.width)
+            if hasattr(reader, "content_scores"):
+                # native host-side path: zero bytes cross the host->TPU
+                # link for detection; hierarchical two-pass scoring
+                # (exact cuts at ~1/5 the cost of a full fine pass)
+                from avsum_tpu.temporal.shots import (
+                    boundaries_from_cuts,
+                    cuts_from_scores,
+                    refined_content_scores,
                 )
-                if hasattr(reader, "read_yuv420"):
-                    # ship raw YUV420 planes (half the bytes of RGB) and
-                    # convert on device
-                    yuv = self._read_yuv(reader, frame_idx)
-                    visual = self.visual.shot_features(
-                        None, shot_ids, len(boundaries), yuv=yuv
-                    )
-                else:
-                    frames = reader.read_frames(frame_idx)
-                    visual = self.visual.shot_features(
-                        frames, shot_ids, len(boundaries)
-                    )
 
-            with annotate("avsum.audio_features"):
-                waveform = self._load_audio(video_path, n_frames / fps)
-                sr = self.config.audio.sample_rate
-                sample_bounds = boundaries.astype(np.float64) / fps * sr
-                audio = np.asarray(
-                    self.audio.shot_features(waveform, sample_bounds)
+                scores = refined_content_scores(
+                    reader, scale, self.detector.threshold
                 )
-        finally:
-            reader.close()
+                cuts = cuts_from_scores(
+                    scores, self.detector.threshold, self.detector.min_scene_len
+                )
+                boundaries = boundaries_from_cuts(cuts, n_frames)
+                total = n_frames
+            else:
+                boundaries, total = detect_shots_streaming(
+                    self._stream_scaled_blocks(reader, scale), self.detector
+                )
+        if total != n_frames:
+            n_frames = total
+        if len(boundaries) == 0:
+            boundaries = np.array([[0, n_frames]], np.int64)
 
+        with annotate("avsum.visual_features"):
+            if self.config.visual.sample_fps > 0:
+                stride = max(1, round(fps / self.config.visual.sample_fps))
+            else:
+                stride = self.config.visual.frame_stride
+            frame_idx, shot_ids = sample_shot_frames(
+                boundaries,
+                stride,
+                self.config.visual.max_frames_per_shot,
+            )
+            if hasattr(reader, "read_yuv420"):
+                # ship raw YUV420 planes (half the bytes of RGB) and
+                # convert on device
+                yuv = self._read_yuv(reader, frame_idx)
+                visual = self.visual.shot_features(
+                    None, shot_ids, len(boundaries), yuv=yuv
+                )
+            else:
+                frames = reader.read_frames(frame_idx)
+                visual = self.visual.shot_features(
+                    frames, shot_ids, len(boundaries)
+                )
+
+        with annotate("avsum.audio_features"):
+            waveform = self._load_audio(reader.path, n_frames / fps)
+            sr = self.config.audio.sample_rate
+            sample_bounds = boundaries.astype(np.float64) / fps * sr
+            audio = np.asarray(
+                self.audio.shot_features(waveform, sample_bounds)
+            )
         return ProcessedVideo(
             video_id=video_id,
             visual=visual.astype(np.float32),
@@ -451,33 +483,6 @@ class AVPipeline:
             f for f in os.listdir(input_dir) if f.lower().endswith(extensions)
         )
 
-        def _submit(path, video_id):
-            """Start a video's work; returns a zero-arg finisher. Fast-path
-            videos begin their host threads + device dispatch NOW, so video
-            i+1's host work runs under video i's device work (cross-video
-            pipelining); other readers fall back to the synchronous path."""
-            reader = open_video(path)
-            if (
-                self.config.visual.sample_fps > 0
-                and hasattr(reader, "content_scores")
-                and hasattr(reader, "read_yuv420")
-            ):
-                try:
-                    st = self._begin_video(reader, video_id)
-                except Exception:
-                    reader.close()  # _begin_video joined its own threads
-                    raise
-
-                def _finish():
-                    try:
-                        return self._finish_video(st)
-                    finally:
-                        reader.close()
-
-                return _finish
-            reader.close()
-            return lambda: self.process_video(path)
-
         def _complete(video_id, finisher):
             try:
                 p = finisher()
@@ -504,7 +509,9 @@ class AVPipeline:
                 cache.drop(video_id)
             path = os.path.join(input_dir, name)
             try:
-                finisher = _submit(path, video_id)
+                # fast-path videos begin host threads + device dispatch NOW,
+                # so video i+1's host work runs under video i's device work
+                finisher = self._begin_processed(path)
             except Exception as e:  # noqa: BLE001 — per-item isolation
                 cache.drop(video_id)
                 log.error("failed %s: %s", video_id, e)
@@ -554,51 +561,41 @@ class AVPipeline:
         return a zero-arg finisher producing the summary dict — so a serving
         loop can overlap video i+1's host work under video i's device work
         (the same begin/finish pipelining preprocess_dataset uses)."""
-        reader = open_video(video_path)
-        if (
-            self.config.visual.sample_fps > 0
-            and hasattr(reader, "content_scores")
-            and hasattr(reader, "read_yuv420")
-        ):
-            try:
-                st = self._begin_video(
-                    reader,
-                    os.path.splitext(os.path.basename(video_path))[0],
-                )
-            except Exception:
-                reader.close()
-                raise
+        fin = self._begin_processed(video_path)
+        return lambda: self._score_summary(fin(), model, params, budget_fraction)
 
-            def _finish():
-                try:
-                    p = self._finish_video(st)
-                finally:
-                    reader.close()
-                return self._score_summary(p, model, params, budget_fraction)
+    @staticmethod
+    def _pad_scorer_inputs(p: ProcessedVideo):
+        """Pad the shot axis to a small set of buckets so different videos
+        reuse the same compiled scorer program. -> (s, visual, audio, mask)."""
+        from avsum_tpu.parallel.mesh import pad_to_multiple
 
-            return _finish
-        reader.close()
-        return lambda: self.summarize(video_path, model, params, budget_fraction)
+        s = len(p.visual)
+        s_pad = pad_to_multiple(s, 32)
+        visual = np.zeros((1, s_pad, p.visual.shape[1]), np.float32)
+        audio = np.zeros((1, s_pad, p.audio.shape[1]), np.float32)
+        mask = np.zeros((1, s_pad), np.float32)
+        visual[0, :s] = p.visual
+        audio[0, :s] = p.audio
+        mask[0, :s] = 1.0
+        return s, visual, audio, mask
 
     def _score_summary(
         self, p: ProcessedVideo, model, params, budget_fraction: Optional[float]
     ) -> Dict:
         import jax
 
-        if model is not None and params is None and callable(model):
-            # pre-compiled scorer artifact (serve/export.py::load_scorer):
-            # call directly — weights are baked in, axes are symbolic, so
-            # the same padded buckets reuse its compilation cache
-            s = len(p.visual)
-            from avsum_tpu.parallel.mesh import pad_to_multiple
-
-            s_pad = pad_to_multiple(s, 32)
-            visual = np.zeros((1, s_pad, p.visual.shape[1]), np.float32)
-            audio = np.zeros((1, s_pad, p.audio.shape[1]), np.float32)
-            mask = np.zeros((1, s_pad), np.float32)
-            visual[0, :s] = p.visual
-            audio[0, :s] = p.audio
-            mask[0, :s] = 1.0
+        # an exported artifact (serve/export.py::load_scorer) is a plain
+        # callable WITHOUT .apply; a Flax module without params falls through
+        # to the scoreless branch (it cannot be called unbound)
+        is_artifact = (
+            model is not None and params is None
+            and callable(model) and not hasattr(model, "apply")
+        )
+        if is_artifact:
+            # weights are baked in, axes are symbolic, so the same padded
+            # buckets reuse the artifact's compilation cache
+            s, visual, audio, mask = self._pad_scorer_inputs(p)
             scores = np.asarray(model(visual, audio, mask))[0, :s]
         elif model is not None and params is not None:
             params = jax.device_put(params)  # no-op if already resident
@@ -607,18 +604,7 @@ class AVPipeline:
                     lambda pr, v, a, m: model.apply({"params": pr}, v, a, m)
                 )
                 self._scorer_model = model
-            # pad the shot axis to a small set of buckets so different
-            # videos reuse the same compiled scorer program
-            s = len(p.visual)
-            from avsum_tpu.parallel.mesh import pad_to_multiple
-
-            s_pad = pad_to_multiple(s, 32)
-            visual = np.zeros((1, s_pad, p.visual.shape[1]), np.float32)
-            audio = np.zeros((1, s_pad, p.audio.shape[1]), np.float32)
-            mask = np.zeros((1, s_pad), np.float32)
-            visual[0, :s] = p.visual
-            audio[0, :s] = p.audio
-            mask[0, :s] = 1.0
+            s, visual, audio, mask = self._pad_scorer_inputs(p)
             scores = np.asarray(
                 self._scorer_jit(params, visual, audio, mask)
             )[0, :s]

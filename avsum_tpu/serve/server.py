@@ -235,11 +235,18 @@ class SummarizeServer:
                         stem, n_scenes=2, seed=0, fps=8.0, height=64,
                         width=96, scene_len_frames=(8, 12),
                     )
-                    req = _Request(stem + ".y4m", None)
-                    self._queue.put(req)
-                    req.done.wait()
-                    if req.code != 200:
-                        raise RuntimeError(req.payload.get("error", "?"))
+                    if self._worker is not None and self._worker.is_alive():
+                        req = _Request(stem + ".y4m", None)
+                        self._queue.put(req)
+                        req.done.wait()
+                        if req.code != 200:
+                            raise RuntimeError(req.payload.get("error", "?"))
+                    else:
+                        # standalone warmup (no server started): drive the
+                        # pipeline directly
+                        self.pipeline.summarize(
+                            stem + ".y4m", self.model, self.params
+                        )
         except Exception as e:  # noqa: BLE001 — degraded, not wedged
             self._warmup_error = str(e)
             log.error("warmup failed (serving degraded): %s", e)
@@ -358,5 +365,11 @@ class SummarizeServer:
             return 404, {"error": f"no such video: {path}"}
         req = _Request(path, budget_fraction)
         self._queue.put(req)
-        req.done.wait()
+        # poll instead of a bare wait: an enqueue can race the worker's
+        # final drain at shutdown — if the worker has exited and nobody
+        # will ever serve this request, answer 503 instead of hanging
+        while not req.done.wait(timeout=1.0):
+            worker = self._worker
+            if not self._running and (worker is None or not worker.is_alive()):
+                return 503, {"error": "server is shutting down"}
         return req.code, req.payload

@@ -100,11 +100,12 @@ def pad_batch_for_mesh(batch: Batch, mesh: Mesh) -> Batch:
 def shard_batch_dict(batch: Batch, mesh: Mesh) -> Batch:
     batch = pad_batch_for_mesh(batch, mesh)
     if mesh.size == 1:
-        # single-device mesh: plain placement is semantically identical,
-        # and committed NamedSharding inputs hit a pathological per-call
-        # reshard on some PJRT backends (measured 13 ms -> 3.7 s/step
-        # through the axon remote-TPU tunnel)
-        return {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+        # single-device mesh: plain placement on the mesh's device is
+        # semantically identical, and committed NamedSharding inputs hit a
+        # pathological per-call reshard on some PJRT backends (measured
+        # 13 ms -> 3.7 s/step through the axon remote-TPU tunnel)
+        dev = mesh.devices.flat[0]
+        return {k: jax.device_put(np.asarray(v), dev) for k, v in batch.items()}
     shardings = batch_shardings(mesh)
     return {k: jax.device_put(np.asarray(v), shardings[k]) for k, v in batch.items()}
 

@@ -56,7 +56,7 @@ def generate(stem: str, seconds: int, seed: int = 7) -> None:
             # scene tone
             s0 = int(written / FPS * sr)
             s1 = min(int((written + length) / FPS * sr), len(audio))
-            tone = 220.0 * (2.0 ** float(rng.integers(0, 12)) ** 0.5)
+            tone = 220.0 * 2.0 ** (float(rng.integers(0, 12)) / 12.0)  # semitone ladder
             tt = np.arange(s1 - s0, dtype=np.float32) / sr
             audio[s0:s1] = 0.4 * np.sin(2 * np.pi * tone * tt)
             audio[s0:s1] += 0.05 * rng.standard_normal(s1 - s0, dtype=np.float32)

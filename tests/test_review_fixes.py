@@ -221,3 +221,103 @@ def test_preprocess_default_extensions_include_mov():
     sig = inspect.signature(AVPipeline.preprocess_dataset)
     exts = sig.parameters["extensions"].default
     assert ".mov" in exts and ".m4v" in exts
+
+
+# ---------------------------------------------------------------------------
+# round-2 second review pass
+# ---------------------------------------------------------------------------
+
+
+def test_export_with_pallas_enabled_model():
+    """Symbolic shot axis + flash-attention dispatch: the `s >= 512` gate
+    must not be asked of a symbolic dimension (TPU export previously raised
+    InconclusiveDimensionOperation; the XLA path is correct for export)."""
+    import jax
+
+    from avsum_tpu.models import make_model
+    from avsum_tpu.serve.export import export_scorer, load_scorer
+    from avsum_tpu.train.config import ModelConfig
+
+    cfg = ModelConfig(hidden_dim=32, scorer_hidden=8, use_pallas=True)
+    model = make_model(cfg)
+    import jax.numpy as jnp
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8, cfg.visual_dim)),
+        jnp.zeros((1, 8, cfg.audio_dim)),
+        jnp.ones((1, 8)),
+    )["params"]
+    blob = export_scorer(
+        model, params, cfg.visual_dim, cfg.audio_dim, platforms=("cpu",)
+    )
+    fn = load_scorer(blob)
+    out = np.asarray(fn(
+        np.zeros((1, 6, cfg.visual_dim), np.float32),
+        np.zeros((1, 6, cfg.audio_dim), np.float32),
+        np.ones((1, 6), np.float32),
+    ))
+    assert out.shape == (1, 6) and np.isfinite(out).all()
+
+
+def test_flax_model_without_params_falls_back_to_uniform(tmp_path):
+    """summarize(path, module, None) must take the scoreless branch, not
+    call the unbound module (CallCompactUnboundModuleError regression)."""
+    import jax
+
+    from avsum_tpu.io.synthetic import write_scene_video
+    from avsum_tpu.models import make_model
+    from avsum_tpu.pipeline import AVPipeline
+    from avsum_tpu.train.config import ModelConfig, load_config
+
+    stem = str(tmp_path / "c")
+    write_scene_video(
+        stem, n_scenes=2, seed=6, fps=8.0, height=64, width=96,
+        scene_len_frames=(8, 12),
+    )
+    cfg = load_config(
+        overrides=[
+            "visual.backbone=tiny",
+            "visual.dtype=float32",
+            "audio.silence_fallback=true",
+        ]
+    )
+    model = make_model(ModelConfig(hidden_dim=32, scorer_hidden=8))
+    out = AVPipeline(cfg).summarize(stem + ".y4m", model, None)
+    assert (np.asarray(out["scores"]) == 1.0).all()  # uniform fallback
+
+
+def test_single_device_mesh_honors_mesh_device():
+    """shard_batch/shard_batch_dict on a 1-device mesh place data on THE
+    mesh's device, not the default device."""
+    import jax
+    from jax.sharding import Mesh
+
+    from avsum_tpu.parallel.mesh import shard_batch, shard_replicated
+
+    devices = jax.devices("cpu")
+    assert len(devices) >= 2, "conftest provides 8 virtual devices"
+    target = devices[3]
+    mesh = Mesh(np.array([target]), ("data",))
+    x = np.ones((2, 4), np.float32)
+    for fn in (shard_batch, shard_replicated):
+        placed = fn(x, mesh)
+        assert list(placed.devices()) == [target], (fn.__name__, placed.devices())
+
+
+def test_standalone_warmup_without_start():
+    """warmup() on an unstarted server must run inline, not deadlock."""
+    from avsum_tpu.serve import ServeConfig, SummarizeServer
+    from avsum_tpu.train.config import load_config
+
+    cfg = load_config(
+        overrides=[
+            "visual.backbone=tiny",
+            "visual.dtype=float32",
+            "audio.silence_fallback=true",
+        ]
+    )
+    srv = SummarizeServer(cfg, ServeConfig(port=0, warmup=True))
+    srv.warmup()  # no start(): previously enqueued into a dead queue
+    assert srv._ready.is_set()
+    assert srv._warmup_error is None
