@@ -484,6 +484,9 @@ class AVPipeline:
         )
 
         def _complete(video_id, finisher):
+            import time
+
+            t0 = time.perf_counter()
             try:
                 p = finisher()
                 self._validate_dims(p)
@@ -492,7 +495,12 @@ class AVPipeline:
                     p.n_frames, fingerprint=fp,
                 )
                 done.append(video_id)
-                log.info("cached %s: %d shots", video_id, len(p.boundaries))
+                log.info(
+                    "cached %s: %d shots (%.1fs, %.0f src fps)",
+                    video_id, len(p.boundaries),
+                    time.perf_counter() - t0,
+                    p.n_frames / max(time.perf_counter() - t0, 1e-9),
+                )
             except Exception as e:  # noqa: BLE001 — per-item isolation
                 cache.drop(video_id)
                 log.error("failed %s: %s", video_id, e)

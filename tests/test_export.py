@@ -95,3 +95,29 @@ def test_pipeline_scores_with_artifact(scorer, tmp_path):
     np.testing.assert_array_equal(
         with_artifact["segments"], with_model["segments"]
     )
+
+
+def test_cli_export_random_init(tmp_path, capsys):
+    """`avsum export --random-init` writes a loadable artifact."""
+    from avsum_tpu.cli.main import main
+
+    out = str(tmp_path / "scorer.hlo")
+    rc = main([
+        "export", "--random-init", "--platforms", "cpu", "--output", out,
+        "--set", "model.hidden_dim=32", "--set", "model.scorer_hidden=8",
+    ])
+    assert rc == 0
+    fn = load_scorer(open(out, "rb").read())
+    cfg = ModelConfig()
+    res = np.asarray(fn(
+        np.zeros((1, 5, cfg.visual_dim), np.float32),
+        np.zeros((1, 5, cfg.audio_dim), np.float32),
+        np.ones((1, 5), np.float32),
+    ))
+    assert res.shape == (1, 5) and np.isfinite(res).all()
+
+
+def test_cli_export_requires_weights_source(capsys):
+    from avsum_tpu.cli.main import main
+
+    assert main(["export", "--output", "/tmp/x.hlo"]) == 1
