@@ -347,27 +347,51 @@ class Mp4VideoReader:
         self._iio = iio
         self.path = path
         self._fh = open(path, "rb")
-        size = os.fstat(self._fh.fileno()).st_size
-        self._buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
-        moov = _find(self._buf, 0, size, b"moov")
-        if moov is None:
-            raise Mp4Error(f"{path!r}: no moov box (not an MP4?)")
-        track = None
-        for t, s, e in _iter_boxes(self._buf, moov[0], moov[1]):
-            if t == b"trak":
-                track = _parse_video_track(self._buf, s, e)
-                if track is not None:
-                    break
+        try:
+            size = os.fstat(self._fh.fileno()).st_size
+            if size < 16:
+                raise Mp4Error(f"{path!r}: too small to be an MP4")
+            self._buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError) as e:
+            self._fh.close()
+            if isinstance(e, Mp4Error):
+                raise
+            raise Mp4Error(f"{path!r}: cannot map container: {e}") from e
+        try:
+            moov = _find(self._buf, 0, size, b"moov")
+            if moov is None:
+                raise Mp4Error(f"{path!r}: no moov box (not an MP4?)")
+            track = None
+            for t, s, e in _iter_boxes(self._buf, moov[0], moov[1]):
+                if t == b"trak":
+                    track = _parse_video_track(self._buf, s, e)
+                    if track is not None:
+                        break
+        except (struct.error, ValueError, IndexError) as e:
+            # truncated/corrupt sample tables must surface as Mp4Error so
+            # callers (open_video fallback, per-item sweep isolation) can
+            # handle them uniformly
+            self.close()
+            raise Mp4Error(f"{path!r}: malformed container: {e}") from e
+        except Mp4Error:
+            self.close()
+            raise
         if track is None:
+            self.close()
             raise Mp4NoVideoTrack(f"{path!r}: no video track in container")
         if track.fourcc not in _JPEG_FOURCCS:
+            self.close()
             raise Mp4UnsupportedCodec(
                 f"{path!r}: video codec {track.fourcc!r} needs a decoder this "
                 "environment lacks — transcode once with "
                 "`ffmpeg -i in.mp4 -c:v mjpeg -q:v 3 -c:a pcm_s16le out.mov` "
                 "(or to .y4m + .wav)"
             )
-        self._ranges = _sample_ranges(track)
+        try:
+            self._ranges = _sample_ranges(track)
+        except (struct.error, ValueError, IndexError) as e:
+            self.close()
+            raise Mp4Error(f"{path!r}: malformed sample tables: {e}") from e
         self.width = track.width
         self.height = track.height
         self.fps = track.fps
@@ -414,11 +438,14 @@ def extract_audio(path: str) -> Tuple[np.ndarray, int]:
             if moov is None:
                 raise Mp4Error(f"{path!r}: no moov box (not an MP4?)")
             track = None
-            for t, s, e in _iter_boxes(buf, moov[0], moov[1]):
-                if t == b"trak":
-                    track = _parse_track(buf, s, e)
-                    if track is not None:
-                        break
+            try:
+                for t, s, e in _iter_boxes(buf, moov[0], moov[1]):
+                    if t == b"trak":
+                        track = _parse_track(buf, s, e)
+                        if track is not None:
+                            break
+            except (struct.error, ValueError, IndexError) as e:
+                raise Mp4Error(f"{path!r}: malformed container: {e}") from e
             if track is None:
                 raise Mp4NoAudioTrack(f"{path!r}: no audio track in container")
             codec = _PCM_CODECS.get(track.fourcc)
@@ -428,7 +455,10 @@ def extract_audio(path: str) -> Tuple[np.ndarray, int]:
                     "this environment lacks — provide a <stem>.wav sidecar "
                     "(the paired-audio convention) instead"
                 )
-            raw = _gather_samples(buf, track)
+            try:
+                raw = _gather_samples(buf, track)
+            except (struct.error, ValueError, IndexError) as e:
+                raise Mp4Error(f"{path!r}: malformed sample data: {e}") from e
         finally:
             buf.close()
 

@@ -321,3 +321,38 @@ def test_standalone_warmup_without_start():
     srv.warmup()  # no start(): previously enqueued into a dead queue
     assert srv._ready.is_set()
     assert srv._warmup_error is None
+
+
+def test_mp4_demuxer_fuzz_clean_errors(tmp_path):
+    """Truncated/corrupt containers must raise the Mp4Error family only —
+    never raw struct/Value/Index errors (per-item sweep isolation and the
+    open_video fallback both dispatch on Mp4Error)."""
+    from avsum_tpu.io.mp4 import Mp4Error, Mp4VideoReader, extract_audio
+    from avsum_tpu.io.mp4_mux import write_mjpeg_mp4
+
+    path = str(tmp_path / "v.mp4")
+    write_mjpeg_mp4(
+        path, np.zeros((4, 16, 16, 3), np.uint8), fps=8.0,
+        audio=np.zeros(8000, np.float32), audio_rate=16000,
+    )
+    data = open(path, "rb").read()
+    rng = np.random.default_rng(0)
+    cases = []
+    for f in (0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99):
+        cases.append(data[: int(len(data) * f)])
+    moov = data.find(b"moov")
+    for _ in range(60):
+        buf = bytearray(data)
+        for _ in range(4):
+            buf[rng.integers(moov, len(data))] = rng.integers(0, 256)
+        cases.append(bytes(buf))
+    bad = str(tmp_path / "bad.mp4")
+    for i, case in enumerate(cases):
+        open(bad, "wb").write(case)
+        for fn in (Mp4VideoReader, extract_audio):
+            try:
+                r = fn(bad)
+                if hasattr(r, "close"):
+                    r.close()
+            except Mp4Error:
+                pass  # the only acceptable failure family
