@@ -317,6 +317,9 @@ def cmd_serve(args) -> int:
             port=args.port,
             warmup=not args.no_warmup,
             access_log=args.access_log or "",
+            media_root=args.media_root or "",
+            max_queue=args.max_queue,
+            request_timeout_s=args.request_timeout,
         ),
         model=model,
         params=params,
@@ -437,6 +440,27 @@ def main(argv: Optional[List[str]] = None) -> int:
         default=None,
         metavar="PATH",
         help="JSONL access log (one line per summarize request)",
+    )
+    p.add_argument(
+        "--media-root",
+        default=None,
+        metavar="DIR",
+        help="only serve media under this directory (required practice "
+        "for non-loopback --host; 403 outside it)",
+    )
+    p.add_argument(
+        "--max-queue",
+        type=int,
+        default=64,
+        help="admission-control bound on queued requests (429 beyond; "
+        "0 = unbounded)",
+    )
+    p.add_argument(
+        "--request-timeout",
+        type=float,
+        default=0.0,
+        metavar="SECONDS",
+        help="per-request wall-clock budget (504 past it; 0 = none)",
     )
     p.set_defaults(fn=cmd_serve)
 

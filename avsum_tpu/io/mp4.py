@@ -138,19 +138,22 @@ def _parse_stsd(buf, s: int, e: int, track: _AudioTrack) -> None:
         # derivable from codec dtype below
         pass
     if track.fourcc == b"ipcm":
-        # ISO/IEC 23003-5 ipcm: endianness lives in the pcmC child box
-        # (format_flags bit 0 = little-endian); absent flag = big-endian
+        # ISO/IEC 23003-5 ipcm: endianness lives in the pcmC child box.
+        # pcmC is a FullBox — 4 bytes version+flags (both zero), then the
+        # payload: format_flags(1) with bit 0 = little-endian, PCM_bit_depth(1).
         entry_size = struct.unpack_from(">I", buf, pos)[0]
         little = False
-        p = entry + 20  # past the v0 AudioSampleEntry fields
+        # scan past the AudioSampleEntry fields (v1 QT entries carry 16
+        # extra bytes of samples/packet fields before child boxes)
+        p = entry + 20 + (16 if version == 1 else 0)
         end = pos + entry_size
         while p + 8 <= end:
             bsize = struct.unpack_from(">I", buf, p)[0]
             if bsize < 8:
                 break
-            if bytes(buf[p + 4 : p + 8]) == b"pcmC":
-                flags = buf[p + 8 + 3]  # full box: version(1)+flags(3)
-                little = bool(flags & 1)
+            if bytes(buf[p + 4 : p + 8]) == b"pcmC" and p + 13 <= end:
+                format_flags = buf[p + 12]  # first payload byte after verflags
+                little = bool(format_flags & 1)
                 break
             p += bsize
         track.fourcc = (

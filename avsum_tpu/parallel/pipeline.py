@@ -135,6 +135,14 @@ def pipeline_apply(
     sequentially (exact — same ops, same order, no approximation).
     """
     n_stages = int(dict(mesh.shape)[axis_name])
+    leaves = jax.tree.leaves(stacked_params)
+    if leaves and int(leaves[0].shape[0]) != n_stages:
+        # a larger multiple would silently drop every stage after the first
+        # on each device (params_local takes p[0] of the local shard)
+        raise ValueError(
+            f"stacked_params leading axis {int(leaves[0].shape[0])} must equal "
+            f"the '{axis_name}' mesh axis size {n_stages}"
+        )
     if n_stages == 1:
         params0 = jax.tree.map(lambda p: p[0], stacked_params)
         return fn(params0, x, mask)

@@ -42,6 +42,45 @@ from avsum_tpu.vision.backbone import (
 log = get_logger("avsum.pipeline")
 
 
+def _dedup_select(flat, anchor, threshold):
+    """Exact greedy dedup over one block of flattened luma frames.
+
+    Keeps frame j iff mean |Δluma| vs the LAST KEPT frame >= threshold
+    (identical semantics to a per-frame scan). Vectorized with galloping
+    doubling windows per anchor run, so total elementwise work stays
+    within 2x one pass over the block whether keeps are sparse (long
+    static runs: one window per run) or dense (every frame changes).
+
+    Returns (kept indices list, new anchor or the incoming one).
+    """
+    n = flat.shape[0]
+    keep = []
+    j = 0
+    while j < n:
+        if anchor is None:
+            keep.append(j)
+            anchor = flat[j]
+            j += 1
+            continue
+        base, w, hit = j, 4, -1
+        while base < n:
+            end = min(base + w, n)
+            d = np.abs(flat[base:end] - anchor).mean(
+                axis=1, dtype=np.float32
+            )
+            h = np.nonzero(d >= threshold)[0]
+            if h.size:
+                hit = base + int(h[0])
+                break
+            base, w = end, w * 2
+        if hit < 0:
+            break  # rest of the block pools into the current run
+        keep.append(hit)
+        anchor = flat[hit]
+        j = hit + 1
+    return keep, anchor
+
+
 @dataclasses.dataclass
 class ProcessedVideo:
     video_id: str
@@ -304,9 +343,10 @@ class AVPipeline:
         host_work: Dict = {}
 
         def _detect():
-            host_work["scores"] = refined_content_scores(
-                reader, scale, self.detector.threshold
-            )
+            with annotate("avsum.detect_thread"):
+                host_work["scores"] = refined_content_scores(
+                    reader, scale, self.detector.threshold
+                )
 
         def _wav():
             try:
@@ -347,37 +387,46 @@ class AVPipeline:
                 # luma moved >= threshold vs the last embedded frame; other
                 # frames pool their run's embedding (run_ids gather in
                 # pool_on_device). Cuts always exceed any sane threshold,
-                # so shot structure is preserved.
+                # so shot structure is preserved. The greedy chain is exact
+                # but vectorized per anchor run (_dedup_select) — no
+                # per-frame Python loop on the critical path.
                 run_ids = np.empty(len(frame_idx), np.int32)
                 n_unique = 0
-                last_y = None
-                ybuf: list = []
-                ubuf: list = []
-                vbuf: list = []
+                anchor = None
+                bufs: list = []  # [(y, u, v)] kept-plane chunks
+                cnt = 0
+
+                def _flush(force=False):
+                    nonlocal bufs, cnt
+                    while cnt >= bs or (force and cnt > 0):
+                        take = min(bs, cnt)
+                        ycat = np.concatenate([b[0] for b in bufs])
+                        ucat = np.concatenate([b[1] for b in bufs])
+                        vcat = np.concatenate([b[2] for b in bufs])
+                        block_pending, _ = self.visual.dispatch_yuv(
+                            ycat[:take], ucat[:take], vcat[:take]
+                        )
+                        pending.extend(block_pending)
+                        rest = (ycat[take:], ucat[take:], vcat[take:])
+                        bufs = [rest] if rest[0].shape[0] else []
+                        cnt -= take
+
                 for i in range(0, len(frame_idx), bs):
                     y, u, v = self._read_yuv(reader, frame_idx[i : i + bs])
-                    for j in range(y.shape[0]):
-                        yj = y[j].astype(np.int16)
-                        if last_y is None or float(
-                            np.mean(np.abs(yj - last_y))
-                        ) >= ded:
-                            ybuf.append(y[j])
-                            ubuf.append(u[j])
-                            vbuf.append(v[j])
-                            last_y = yj
-                            n_unique += 1
-                        run_ids[i + j] = n_unique - 1
-                        if len(ybuf) == bs:
-                            block_pending, _ = self.visual.dispatch_yuv(
-                                np.stack(ybuf), np.stack(ubuf), np.stack(vbuf)
-                            )
-                            pending.extend(block_pending)
-                            ybuf, ubuf, vbuf = [], [], []
-                if ybuf:
-                    block_pending, _ = self.visual.dispatch_yuv(
-                        np.stack(ybuf), np.stack(ubuf), np.stack(vbuf)
+                    n = y.shape[0]
+                    flat = y.reshape(n, -1).astype(np.int16)
+                    keep, anchor = _dedup_select(flat, anchor, ded)
+                    karr = np.asarray(keep, np.int64)
+                    # run id = index of the kept frame this one pools into
+                    run_ids[i : i + n] = n_unique - 1 + np.searchsorted(
+                        karr, np.arange(n), side="right"
                     )
-                    pending.extend(block_pending)
+                    n_unique += len(keep)
+                    if len(keep):
+                        bufs.append((y[karr], u[karr], v[karr]))
+                        cnt += len(keep)
+                        _flush()
+                _flush(force=True)
                 log.debug(
                     "dedup: %d/%d frames shipped", n_unique, len(frame_idx)
                 )
@@ -589,6 +638,12 @@ class AVPipeline:
         return s, visual, audio, mask
 
     def _score_summary(
+        self, p: ProcessedVideo, model, params, budget_fraction: Optional[float]
+    ) -> Dict:
+        with annotate("avsum.score_select"):
+            return self._score_summary_impl(p, model, params, budget_fraction)
+
+    def _score_summary_impl(
         self, p: ProcessedVideo, model, params, budget_fraction: Optional[float]
     ) -> Dict:
         import jax

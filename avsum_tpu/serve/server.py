@@ -31,7 +31,10 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import queue
+import select
+import socket
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -52,12 +55,23 @@ class ServeConfig:
     warmup: bool = True
     # JSONL access log (one line per summarize request); "" disables
     access_log: str = ""
+    # only serve media under this directory (realpath prefix check);
+    # "" = any server-local path (trusted/loopback deployments only)
+    media_root: str = ""
+    # admission control: queued-but-unstarted requests beyond this get 429
+    # (the flood can't grow the queue without bound); 0 = unbounded
+    max_queue: int = 64
+    # per-request wall-clock budget: waiters give up with 504 and the
+    # worker skips the request if it hasn't started yet; 0 = no timeout
+    request_timeout_s: float = 0.0
 
 
 class _Request:
     """One queued summarize call; the worker fills (code, payload)."""
 
-    __slots__ = ("path", "budget", "done", "code", "payload", "t0")
+    __slots__ = (
+        "path", "budget", "done", "code", "payload", "t0", "abandoned"
+    )
 
     def __init__(self, path: str, budget: Optional[float]):
         self.path = path
@@ -66,6 +80,9 @@ class _Request:
         self.code = 500
         self.payload = {"error": "request dropped"}
         self.t0 = time.perf_counter()
+        # set when the waiter gave up (timeout / client disconnect); the
+        # worker skips abandoned requests it hasn't started yet
+        self.abandoned = threading.Event()
 
     def finish(self, code: int, payload: dict) -> None:
         self.code = code
@@ -99,7 +116,9 @@ class SummarizeServer:
         self.pipeline = AVPipeline(config)
         self.model = model
         self.params = params
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=max(serve_config.max_queue, 0)
+        )
         self._running = False
         self._worker: Optional[threading.Thread] = None
         self._ready = threading.Event()
@@ -108,9 +127,16 @@ class SummarizeServer:
         self._stats = {
             "requests": 0,
             "failures": 0,
+            "rejected": 0,   # 429 backpressure
+            "cancelled": 0,  # timed out / disconnected before start
             "frames": 0,
             "latency_ewma_s": 0.0,
         }
+        self._media_root = (
+            os.path.realpath(serve_config.media_root)
+            if serve_config.media_root
+            else ""
+        )
         self._t0 = time.time()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
@@ -142,6 +168,14 @@ class SummarizeServer:
                     continue
                 if not self._running:
                     break  # graceful drain done: queue empty, nothing in flight
+                continue
+            if req.abandoned.is_set():
+                # waiter gave up (timeout / client disconnect) while the
+                # request was still queued — don't burn pipeline time on it
+                with self._stats_lock:
+                    self._stats["cancelled"] += 1
+                self._access_log(req, 499, {"error": "cancelled before start"})
+                req.finish(499, {"error": "cancelled"})
                 continue
             try:
                 fin = self.pipeline.summarize_begin(
@@ -306,10 +340,34 @@ class SummarizeServer:
                         400, {"error": f"bad request: {e!r} (need JSON with 'path')"}
                     )
                 code, payload = server.handle_summarize(
-                    path, req.get("budget_fraction")
+                    path, req.get("budget_fraction"),
+                    disconnected=self._client_gone,
                 )
+                if code == 499:
+                    return  # client already gone; nothing to write
                 return self._json(code, payload)
 
+            def _client_gone(self) -> bool:
+                """True if the client closed its end (poll, non-blocking).
+
+                Request body is fully read before this is polled, so any
+                readable-with-no-data state means EOF/half-close."""
+                try:
+                    r, _, _ = select.select([self.connection], [], [], 0)
+                    if not r:
+                        return False
+                    return self.connection.recv(1, socket.MSG_PEEK) == b""
+                except (OSError, ValueError):
+                    return True
+
+        if (self.serve_config.host not in ("127.0.0.1", "localhost", "::1")
+                and not self._media_root):
+            log.warning(
+                "binding %s without media_root: any client can summarize "
+                "any server-local file path — set ServeConfig.media_root "
+                "(--media-root) for non-loopback deployments",
+                self.serve_config.host,
+            )
         self._httpd = ThreadingHTTPServer(
             (self.serve_config.host, self.serve_config.port), Handler
         )
@@ -354,22 +412,48 @@ class SummarizeServer:
 
     # ------------------------------------------------------------------
 
-    def handle_summarize(self, path: str, budget_fraction=None):
-        """One request: (http_code, payload). FIFO order via the worker."""
-        import os
+    def handle_summarize(self, path: str, budget_fraction=None,
+                         disconnected=None):
+        """One request: (http_code, payload). FIFO order via the worker.
 
+        ``disconnected`` is an optional zero-arg callable polled while
+        waiting; when it returns True the request is abandoned (the worker
+        skips it if it hasn't started) and the result is discarded.
+        """
         self._ready.wait()
         if not self._running:
             return 503, {"error": "server is shutting down"}
+        if self._media_root:
+            real = os.path.realpath(path)
+            if not (real == self._media_root
+                    or real.startswith(self._media_root + os.sep)):
+                # uniform 403 (no existence oracle outside the root)
+                return 403, {"error": "path outside media root"}
         if not os.path.exists(path):
             return 404, {"error": f"no such video: {path}"}
         req = _Request(path, budget_fraction)
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            with self._stats_lock:
+                self._stats["rejected"] += 1
+            return 429, {"error": "queue full, retry later"}
+        timeout = self.serve_config.request_timeout_s
+        deadline = req.t0 + timeout if timeout > 0 else None
         # poll instead of a bare wait: an enqueue can race the worker's
         # final drain at shutdown — if the worker has exited and nobody
         # will ever serve this request, answer 503 instead of hanging
-        while not req.done.wait(timeout=1.0):
+        while not req.done.wait(timeout=0.05):
             worker = self._worker
             if not self._running and (worker is None or not worker.is_alive()):
                 return 503, {"error": "server is shutting down"}
+            if deadline is not None and time.perf_counter() > deadline:
+                # the worker counts it as cancelled if it skips it; if it
+                # already started, the result completes and is discarded
+                req.abandoned.set()
+                self._access_log(req, 504, {"error": "request timeout"})
+                return 504, {"error": f"request exceeded {timeout:g}s budget"}
+            if disconnected is not None and disconnected():
+                req.abandoned.set()
+                return 499, {"error": "client disconnected"}
         return req.code, req.payload

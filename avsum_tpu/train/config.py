@@ -136,6 +136,7 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 10
     eval_every_epochs: int = 10
+    save_every_epochs: int = 1  # checkpoint cadence (last epoch always saved)
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
     log_path: Optional[str] = None  # JSONL scalar sink
@@ -243,6 +244,21 @@ def load_config(
             raise ValueError(f"override must look like key.path=value, got {item!r}")
         key, _, val = item.partition("=")
         cfg = _set_path(cfg, key.strip(), val.strip())
+    return _normalize(cfg)
+
+
+def _normalize(cfg: Config) -> Config:
+    """Make dependent dims follow the backbone choice.
+
+    A resnet50-only backbone natively emits 2048-d features; the 4096
+    contract (extractors.py:108) is the *dual*-backbone concat. When the
+    dims were left at their dual defaults, follow the backbone instead of
+    padding/duplicating features to fake the contract."""
+    if cfg.visual.backbone == "resnet50":
+        if cfg.visual.feature_dim == 4096:
+            cfg = _set_path(cfg, "visual.feature_dim", "2048")
+        if cfg.model.visual_dim == 4096:
+            cfg = _set_path(cfg, "model.visual_dim", "2048")
     return cfg
 
 

@@ -141,7 +141,10 @@ class Trainer:
                 scores = eval_fn()
                 self.logger.log(int(self.state.step), epoch=epoch, **scores)
                 log.info("eval @ epoch %d: %s", epoch, scores)
-            self.ckpt.save(int(self.state.step), self.state, {"epoch": epoch})
+            if (epoch + 1) % cfg.save_every_epochs == 0 or epoch == epochs - 1:
+                self.ckpt.save(
+                    int(self.state.step), self.state, {"epoch": epoch}
+                )
         return self.state
 
     def score_video(self, example, base_bucket: Optional[int] = None) -> np.ndarray:

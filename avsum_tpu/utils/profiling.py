@@ -16,10 +16,39 @@ from typing import Any, Callable, Dict, Iterator, Optional
 import jax
 
 
+# active stage collectors (see collect_stages); annotate() feeds every
+# registered collector, so bench/serve can attribute wall time per stage
+# without threading a timer object through the pipeline
+_collectors: list = []
+
+
 @contextlib.contextmanager
 def annotate(name: str) -> Iterator[None]:
-    with jax.profiler.TraceAnnotation(name):
-        yield
+    start = time.perf_counter()
+    try:
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    finally:
+        if _collectors:
+            dt = time.perf_counter() - start
+            for c in list(_collectors):
+                c[name] = c.get(name, 0.0) + dt
+
+
+@contextlib.contextmanager
+def collect_stages() -> Iterator[Dict[str, float]]:
+    """Accumulate {annotate-name: wall seconds} for the enclosed region.
+
+    Note the pipeline overlaps stages across threads (host detection under
+    device dispatch), so spans can sum past wall-clock — that overlap is
+    exactly what the per-stage breakdown is for.
+    """
+    acc: Dict[str, float] = {}
+    _collectors.append(acc)
+    try:
+        yield acc
+    finally:
+        _collectors.remove(acc)
 
 
 class Timer:

@@ -313,13 +313,19 @@ def make_visual_frontend(
     elif config.backbone == "resnet50":
         from avsum_tpu.vision.resnet import ResNet50
 
+        if config.feature_dim != 2048:
+            raise ValueError(
+                "backbone 'resnet50' natively emits 2048-d features; set "
+                "visual.feature_dim=2048 and model.visual_dim=2048 (done "
+                "automatically by load_config when left at defaults) — the "
+                "4096 contract is the dual-backbone concat (extractors.py:108)"
+            )
+
         class _ResNetOnly(nn.Module):
             @nn.compact
             def __call__(self, frames, train: bool = False):
                 x = preprocess_frames(frames, 224, dtype)
-                feats = ResNet50(dtype=dtype, name="resnet")(x, train)
-                # tile 2048 -> 4096 to honor the feature-dim contract
-                return jnp.concatenate([feats, feats], axis=-1)
+                return ResNet50(dtype=dtype, name="resnet")(x, train)
 
         model = _ResNetOnly()
     elif config.backbone == "vit":

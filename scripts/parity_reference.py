@@ -1,0 +1,440 @@
+"""F1-parity harness: the literal reference model (torch, CPU) vs AVScorer.
+
+The north star (BASELINE.md) is canonical F1 within 0.5 pts of the
+reference *as re-run* — and until this harness, no number from actual
+reference code had ever been produced. This script closes that gap
+without network or codecs:
+
+1. Synthesizes a TVSum-format world (scene-structured videos + a
+   ydata-tvsum50.mat-shaped annotation file with 20 noisy users/video).
+2. Preprocesses it ONCE through the avsum_tpu pipeline into a feature
+   cache (visual [S,4096], audio [S,296] — the reference's contract dims,
+   with the SURVEY §8.1 fix applied, which both sides then consume
+   identically).
+3. Trains, per cross-validation fold:
+   a. the reference's AVBiLSTMModel re-instantiated in torch on CPU
+      (architecture and semantics of /root/reference/models/av_model.py:6-46,
+      including the batch_first quirk — see ReferenceAVBiLSTM), with the
+      reference's training recipe (/root/reference/scripts/train_av_model.py:
+      64-96: AdamW lr=1e-4, MSE, shuffled, effective batch 1, 100 epochs)
+      against the shared shot targets (real boundaries + real fps — the
+      §8.4 fix, applied identically on both sides);
+   b. avsum_tpu's AVScorer with temporal_encoder=bilstm (the torch-exact
+      parity variant, tests/test_debug_bilstm.py);
+   c. avsum_tpu's AVScorer with temporal_encoder=attention (the flagship).
+4. Evaluates all three with the SAME protocol code (canonical
+   per-annotator knapsack F1, summary/protocol.py, plus the reference's
+   keyframe F1/rho/tau, evaluate.py:26-42) on each fold's test videos.
+5. Writes PARITY_F1.json / PARITY_F1.md with per-model means and deltas.
+
+Run: python scripts/parity_reference.py [--out-dir .] [--quick]
+(AVSUM_PLATFORM=cpu recommended: the models are small and host-side
+training avoids tunnel compile latency; the product path on TPU is
+covered by bench.py and the e2e suite.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+# ---------------------------------------------------------------------------
+# The reference model, re-instantiated (torch, CPU)
+# ---------------------------------------------------------------------------
+
+
+def build_reference_model(visual_dim: int, audio_dim: int, hidden_dim: int):
+    """The reference's AVBiLSTMModel (av_model.py:6-46), CPU-adapted.
+
+    Reproduced from its documented architecture — NOT a file copy:
+      per-modality Linear(d, H)+ReLU+Dropout(0.3) compressors
+        (av_model.py:10-15),
+      per-modality BiLSTM H -> H/2 x 2 directions, batch_first
+        (av_model.py:18-23),
+      concat -> nn.MultiheadAttention(2H, 4 heads) self-attention
+        (av_model.py:26) — deliberately WITHOUT batch_first, fed [B,S,E]
+        (the reference's §8.5 quirk: torch then reads dim0 as the
+        sequence, so with B=1 each shot is its own length-1 "batch" and
+        the attention degenerates to a per-shot linear map; re-running
+        the reference means re-running that semantics),
+      Linear(2H, 64)+ReLU+Linear(64, 1)+Sigmoid scorer, squeezed
+        (av_model.py:29-31, 46).
+    """
+    import torch.nn as tnn
+
+    class ReferenceAVBiLSTM(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            h = hidden_dim
+            self.visual_fc = tnn.Sequential(
+                tnn.Linear(visual_dim, h), tnn.ReLU(), tnn.Dropout(0.3)
+            )
+            self.audio_fc = tnn.Sequential(
+                tnn.Linear(audio_dim, h), tnn.ReLU(), tnn.Dropout(0.3)
+            )
+            self.visual_bilstm = tnn.LSTM(
+                h, h // 2, bidirectional=True, batch_first=True
+            )
+            self.audio_bilstm = tnn.LSTM(
+                h, h // 2, bidirectional=True, batch_first=True
+            )
+            # batch_first intentionally unset — reference semantics (§8.5)
+            self.attention = tnn.MultiheadAttention(2 * h, num_heads=4)
+            self.scorer = tnn.Sequential(
+                tnn.Linear(2 * h, 64), tnn.ReLU(), tnn.Linear(64, 1),
+                tnn.Sigmoid(),
+            )
+
+        def forward(self, visual, audio):
+            import torch
+
+            v = self.visual_fc(visual)
+            a = self.audio_fc(audio)
+            v, _ = self.visual_bilstm(v)
+            a, _ = self.audio_bilstm(a)
+            fused = torch.cat([v, a], dim=-1)
+            attn, _ = self.attention(fused, fused, fused)
+            return self.scorer(attn).squeeze()
+
+    return ReferenceAVBiLSTM()
+
+
+def train_reference_model(
+    model,
+    train_examples,
+    epochs: int = 100,
+    lr: float = 1e-4,
+    seed: int = 0,
+):
+    """The reference's loop (train_av_model.py:64-96): shuffled effective
+    batch 1, AdamW(lr=1e-4), MSE against aligned shot scores."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(seed)
+    opt = torch.optim.AdamW(model.parameters(), lr=lr)
+    rng = np.random.default_rng(seed)
+    tensors = [
+        (
+            torch.from_numpy(np.ascontiguousarray(ex.visual)[None]),
+            torch.from_numpy(np.ascontiguousarray(ex.audio)[None]),
+            torch.from_numpy(np.ascontiguousarray(ex.targets)),
+        )
+        for ex in train_examples
+    ]
+    model.train()
+    for _ in range(epochs):
+        for i in rng.permutation(len(tensors)):
+            visual, audio, target = tensors[i]
+            preds = model(visual, audio)
+            loss = F.mse_loss(preds, target)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+    return model
+
+
+def score_with_reference(model, example) -> np.ndarray:
+    import torch
+
+    model.eval()
+    with torch.no_grad():
+        preds = model(
+            torch.from_numpy(np.ascontiguousarray(example.visual)[None]),
+            torch.from_numpy(np.ascontiguousarray(example.audio)[None]),
+        )
+    return np.atleast_1d(preds.numpy().astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Shared world + evaluation
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ParitySettings:
+    n_videos: int = 15
+    n_scenes: int = 10
+    height: int = 48
+    width: int = 64
+    epochs: int = 100
+    hidden_dim: int = 512
+    n_folds: int = 5
+    seed: int = 0
+
+
+def build_world(root: str, st: ParitySettings):
+    """Synthetic TVSum-50-shaped dataset + ONE shared feature cache."""
+    from avsum_tpu.data.cache import FeatureCache
+    from avsum_tpu.io.synthetic import write_scene_video
+    from avsum_tpu.pipeline import AVPipeline
+    from avsum_tpu.train.config import load_config
+    from tests.helpers import write_fake_tvsum_mat
+
+    video_dir = os.path.join(root, "videos")
+    os.makedirs(video_dir, exist_ok=True)
+    rng = np.random.default_rng(st.seed)
+    ids, frame_scores = [], []
+    for i in range(st.n_videos):
+        vid = f"pv{i:02d}"
+        scenes = write_scene_video(
+            os.path.join(video_dir, vid),
+            n_scenes=st.n_scenes,
+            seed=1000 + i,
+            height=st.height,
+            width=st.width,
+        )
+        total = scenes[-1][1]
+        # content-correlated ground truth: per-scene importance levels
+        scores = np.zeros(total, np.float32)
+        for (start, end) in scenes:
+            scores[start:end] = rng.random()
+        ids.append(vid)
+        frame_scores.append(scores)
+    mat_path = os.path.join(root, "ydata.mat")
+    write_fake_tvsum_mat(mat_path, ids, frame_scores, seed=st.seed)
+
+    cfg = load_config(
+        overrides=[
+            "visual.backbone=tiny",  # random weights on BOTH sides anyway
+            "visual.dtype=float32",
+            "audio.silence_fallback=true",
+            "data.dataset=tvsum",
+            f"data.annotation_path={mat_path}",
+            f"data.cache_dir={root}/cache",
+            f"model.hidden_dim={st.hidden_dim}",
+            f"train.epochs={st.epochs}",
+        ]
+    )
+    cache = FeatureCache(cfg.data.cache_dir)
+    AVPipeline(cfg).preprocess_dataset(video_dir, cache)
+    return cfg, cache, mat_path
+
+
+def evaluate_model(score_fn, test_examples, anno_index, budget=0.15):
+    """Same protocol for every contender: canonical knapsack F1 over the
+    20 annotators + the reference's keyframe metrics on shot targets."""
+    from avsum_tpu.summary.metrics import evaluate_scores
+    from avsum_tpu.summary.protocol import canonical_f1_tvsum
+
+    canon, keyframe = [], []
+    for ex in test_examples:
+        preds = np.asarray(score_fn(ex), np.float32)[: ex.n_shots]
+        canon.append(
+            canonical_f1_tvsum(
+                preds,
+                ex.shot_boundaries,
+                ex.n_frames,
+                anno_index[ex.video_id].user_scores,
+                budget,
+            )
+        )
+        keyframe.append(evaluate_scores(preds, ex.targets))
+    out = {
+        "canonical_f1": float(np.mean(canon)),
+        "f1": float(np.mean([k["f1"] for k in keyframe])),
+        "spearman": float(np.mean([k["spearman"] for k in keyframe])),
+        "kendall": float(np.mean([k["kendall"] for k in keyframe])),
+    }
+    return out
+
+
+def train_avsum(
+    cfg, train_examples, temporal_encoder: str, max_shots: int, ckpt_dir: str
+):
+    """Train AVScorer through the real Trainer on the shared examples."""
+    from avsum_tpu.data.batching import batch_iterator
+    from avsum_tpu.models import make_model
+    from avsum_tpu.train.trainer import Trainer
+
+    from avsum_tpu.train.config import load_config
+
+    fold_cfg = load_config(
+        overrides=[
+            f"model.temporal_encoder={temporal_encoder}",
+            f"model.hidden_dim={cfg.model.hidden_dim}",
+            f"data.max_shots={max_shots}",
+            f"train.epochs={cfg.train.epochs}",
+            f"train.checkpoint_dir={ckpt_dir}",
+            "train.save_every_epochs=1000000",  # final state only
+            "visual.dtype=float32",
+        ]
+    )
+    trainer = Trainer(make_model(fold_cfg.model), fold_cfg)
+
+    def batches(epoch=0):
+        return batch_iterator(
+            train_examples,
+            batch_size=max(len(train_examples) // 2, 1),
+            max_shots=max_shots,
+            shuffle=True,
+            seed=fold_cfg.train.seed + epoch,
+        )
+
+    trainer.fit(batches, epochs=fold_cfg.train.epochs)
+    return trainer
+
+
+def run_parity(root: str, st: ParitySettings) -> dict:
+    from avsum_tpu.data.datasets import load_tvsum_examples
+    from avsum_tpu.data.splits import create_kfold_splits
+    from avsum_tpu.data.tvsum import load_tvsum, tvsum_index
+
+    t0 = time.time()
+    cfg, cache, mat_path = build_world(root, st)
+    examples = {
+        ex.video_id: ex for ex in load_tvsum_examples(cache, mat_path)
+    }
+    anno = tvsum_index(load_tvsum(mat_path))
+    max_shots = 1
+    while max_shots < max(ex.n_shots for ex in examples.values()):
+        max_shots *= 2
+
+    folds = create_kfold_splits(sorted(examples), st.n_folds, seed=st.seed)
+    contenders = {
+        "reference_torch_bilstm": [],
+        "avsum_bilstm": [],
+        "avsum_attention": [],
+    }
+    for f_idx, fold in enumerate(folds):
+        train_ex = [examples[v] for v in fold["train"]]
+        test_ex = [examples[v] for v in fold["test"]]
+        dv = train_ex[0].visual.shape[-1]
+        da = train_ex[0].audio.shape[-1]
+
+        ref = build_reference_model(dv, da, st.hidden_dim)
+        train_reference_model(
+            ref, train_ex, epochs=st.epochs, seed=st.seed + f_idx
+        )
+        contenders["reference_torch_bilstm"].append(
+            evaluate_model(
+                lambda ex: score_with_reference(ref, ex), test_ex, anno
+            )
+        )
+
+        for encoder, key in (
+            ("bilstm", "avsum_bilstm"),
+            ("attention", "avsum_attention"),
+        ):
+            trainer = train_avsum(
+                cfg, train_ex, encoder, max_shots,
+                os.path.join(root, f"ckpt_{encoder}_f{f_idx}"),
+            )
+            contenders[key].append(
+                evaluate_model(
+                    lambda ex: trainer.score_video(ex, max_shots),
+                    test_ex,
+                    anno,
+                )
+            )
+        print(
+            f"fold {f_idx}: "
+            + " ".join(
+                f"{k}={v[-1]['canonical_f1']:.4f}"
+                for k, v in contenders.items()
+            ),
+            flush=True,
+        )
+
+    result = {
+        "settings": dataclasses.asdict(st),
+        "protocol": "synthetic TVSum, canonical per-annotator knapsack F1, "
+        f"{st.n_folds}-fold CV",
+        "wall_s": round(time.time() - t0, 1),
+        "models": {},
+    }
+    for key, per_fold in contenders.items():
+        result["models"][key] = {
+            m: float(np.mean([f[m] for f in per_fold]))
+            for m in per_fold[0]
+        }
+        result["models"][key]["per_fold_canonical_f1"] = [
+            round(f["canonical_f1"], 4) for f in per_fold
+        ]
+    ref_f1 = result["models"]["reference_torch_bilstm"]["canonical_f1"]
+    for key in ("avsum_bilstm", "avsum_attention"):
+        result["models"][key]["delta_canonical_f1_pts"] = round(
+            100.0 * (result["models"][key]["canonical_f1"] - ref_f1), 2
+        )
+    return result
+
+
+def write_reports(result: dict, out_dir: str) -> None:
+    with open(os.path.join(out_dir, "PARITY_F1.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    m = result["models"]
+    ref = m["reference_torch_bilstm"]
+    lines = [
+        "# PARITY_F1 — measured F1 parity vs the reference as re-run",
+        "",
+        "Produced by `scripts/parity_reference.py` (see its docstring for "
+        "the protocol). The reference side is its literal model + training "
+        "recipe executed in torch on CPU (av_model.py:6-46, "
+        "train_av_model.py:64-96) on the SAME cached features, targets, "
+        "splits, and evaluation code as the rebuild.",
+        "",
+        f"Protocol: {result['protocol']}; settings: {result['settings']}",
+        "",
+        "| model | canonical F1 | Δ vs reference (pts) | keyframe F1 | ρ | τ |",
+        "|---|---|---|---|---|---|",
+    ]
+    for key, r in m.items():
+        delta = r.get("delta_canonical_f1_pts", "—")
+        lines.append(
+            f"| {key} | {r['canonical_f1']:.4f} | {delta} | "
+            f"{r['f1']:.4f} | {r['spearman']:.4f} | {r['kendall']:.4f} |"
+        )
+    verdict_ok = all(
+        abs(m[k]["delta_canonical_f1_pts"]) <= 0.5
+        or m[k]["canonical_f1"] >= ref["canonical_f1"]
+        for k in ("avsum_bilstm", "avsum_attention")
+    )
+    lines += [
+        "",
+        f"Acceptance (|Δ| ≤ 0.5 pts or better-than-reference): "
+        f"{'PASS' if verdict_ok else 'FAIL'}",
+        "",
+        "Caveats: synthetic media and random-weight encoders on BOTH sides "
+        "(pretrained ports remain the offline step, docs/PARITY_RUNBOOK.md); "
+        "what this measures is trainer/model/protocol parity end to end.",
+    ]
+    with open(os.path.join(out_dir, "PARITY_F1.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--out-dir", default=REPO)
+    ap.add_argument("--work-dir", default=None)
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="small world (CI-scale smoke, not the reportable run)",
+    )
+    args = ap.parse_args(argv)
+    st = ParitySettings()
+    if args.quick:
+        st = ParitySettings(
+            n_videos=6, n_scenes=5, epochs=8, hidden_dim=64, n_folds=2
+        )
+    import tempfile
+
+    work = args.work_dir or tempfile.mkdtemp(prefix="parity_")
+    result = run_parity(work, st)
+    write_reports(result, args.out_dir)
+    print(json.dumps(result["models"], indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

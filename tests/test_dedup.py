@@ -105,3 +105,39 @@ def test_dedup_run_crossing_shot_boundary_pools_correctly(video):
     ref = out.visual[0]
     for row in out.visual:
         np.testing.assert_allclose(row, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dedup_select_matches_naive_chain():
+    """The galloping-window selection is exactly the per-frame greedy scan."""
+    from avsum_tpu.pipeline import _dedup_select
+
+    rng = np.random.default_rng(7)
+    for density in (0.0, 0.1, 0.5, 1.0):
+        # build frames whose consecutive diffs cross the threshold with the
+        # given density (includes the all-static and all-changing extremes)
+        n, hw, thr = 97, 64, 10.0
+        frames = np.zeros((n, hw), np.int16)
+        level = 0
+        for i in range(n):
+            if rng.random() < density:
+                level += 40
+            frames[i] = level + rng.integers(0, 3, hw)
+
+        # naive reference chain
+        naive, anchor = [], None
+        for j in range(n):
+            if anchor is None or float(
+                np.mean(np.abs(frames[j] - anchor))
+            ) >= thr:
+                naive.append(j)
+                anchor = frames[j]
+
+        got, _ = _dedup_select(frames, None, thr)
+        assert got == naive, (density, got[:10], naive[:10])
+
+        # and with blocks: a carried anchor across block boundaries
+        got_blocks, anc = [], None
+        for s in range(0, n, 16):
+            k, anc = _dedup_select(frames[s : s + 16], anc, thr)
+            got_blocks.extend(s + j for j in k)
+        assert got_blocks == naive

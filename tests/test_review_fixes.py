@@ -17,7 +17,7 @@ def _tone(n, f=440.0, sr=16000):
     return (0.4 * np.sin(2 * np.pi * f * np.arange(n) / sr)).astype(np.float32)
 
 
-def _make_ipcm_mp4(path, samples, rate, little_endian, with_pcmc):
+def _make_ipcm_mp4(path, samples, rate, little_endian, with_pcmc, v1=False):
     """Audio-only mp4 with an ipcm sample entry (optionally + pcmC)."""
     from avsum_tpu.io.mp4_mux import (
         _audio_trak,
@@ -39,17 +39,26 @@ def _make_ipcm_mp4(path, samples, rate, little_endian, with_pcmc):
         b"sowt" if little_endian else b"twos",
     )
     if with_pcmc:
+        # spec-conformant pcmC: FullBox(version=0, flags=0) then payload
+        # format_flags(1, bit0 = little-endian) + PCM_bit_depth(1)
         pcmc = _full(
-            b"pcmC", 0, 1 if little_endian else 0, bytes([16])
+            b"pcmC", 0, 0, bytes([1 if little_endian else 0, 16])
         )
         old_entry_prefix = struct.pack(">I", 36) + (
             b"sowt" if little_endian else b"twos"
         )
-        new_entry_prefix = struct.pack(">I", 36 + len(pcmc)) + b"ipcm"
+        # v1 (QuickTime) AudioSampleEntry carries 16 extra bytes of
+        # samples/packet fields between the rate and any child boxes
+        qt_extra = b"\x00" * 16 if v1 else b""
+        new_entry_prefix = struct.pack(
+            ">I", 36 + len(qt_extra) + len(pcmc)
+        ) + b"ipcm"
         i = trak.index(old_entry_prefix)
-        entry_rest = trak[i + 8 : i + 36]
-        new_entry = new_entry_prefix + entry_rest + pcmc
-        grown = len(pcmc)
+        entry_rest = bytearray(trak[i + 8 : i + 36])
+        if v1:
+            struct.pack_into(">H", entry_rest, 8, 1)  # version field
+        new_entry = new_entry_prefix + bytes(entry_rest) + qt_extra + pcmc
+        grown = len(pcmc) + len(qt_extra)
         # grow every enclosing box size (trak, mdia, minf, stbl, stsd)
         out = bytearray(trak[:i] + new_entry + trak[i + 36 :])
         for marker in (b"trak", b"mdia", b"minf", b"stbl", b"stsd"):
@@ -71,18 +80,23 @@ def _make_ipcm_mp4(path, samples, rate, little_endian, with_pcmc):
 
 
 @pytest.mark.parametrize(
-    "little,with_pcmc",
-    [(False, False), (False, True), (True, True)],
-    ids=["default-BE", "pcmC-BE", "pcmC-LE"],
+    "little,with_pcmc,v1",
+    [
+        (False, False, False),
+        (False, True, False),
+        (True, True, False),
+        (True, True, True),
+    ],
+    ids=["default-BE", "pcmC-BE", "pcmC-LE", "pcmC-LE-v1entry"],
 )
-def test_ipcm_endianness(tmp_path, little, with_pcmc):
-    """ipcm defaults to big-endian; pcmC's LSB flag selects little."""
+def test_ipcm_endianness(tmp_path, little, with_pcmc, v1):
+    """ipcm defaults to big-endian; pcmC's LSB format_flags selects little."""
     from avsum_tpu.io.mp4 import extract_audio
 
     sr = 16000
     tone = _tone(sr)
     path = str(tmp_path / "a.mp4")
-    _make_ipcm_mp4(path, tone, sr, little, with_pcmc)
+    _make_ipcm_mp4(path, tone, sr, little, with_pcmc, v1=v1)
     out, rate = extract_audio(path)
     assert rate == sr
     expected = np.round(np.clip(tone, -1, 1) * 32767) / 32768.0
