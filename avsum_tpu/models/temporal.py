@@ -123,7 +123,10 @@ class AttentionBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(4 * self.dim, dtype=self.dtype)(y)
-        y = nn.gelu(y)
+        # exact (erf) GELU: matches torch's default, so ported transformer
+        # weights (vision/port_torch.py::vit_from_torch) reproduce torch
+        # outputs without a tanh-approximation drift across 12 layers
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         x = x + y
@@ -195,6 +198,111 @@ class TemporalConvEncoder(nn.Module):
             x = x + y
         if m is not None:
             x = x * m
+        return x
+
+
+class StageBlocks(nn.Module):
+    """``layers`` dropout-free attention blocks — one GPipe *stage*.
+
+    Dropout-free so the stage is a pure ``(params, x, mask) -> y`` function
+    the pipeline schedule (:func:`avsum_tpu.parallel.pipeline.pipeline_apply`)
+    can trace without rng plumbing; regularization for the deep encoder comes
+    from the scorer's modality-MLP dropout and weight decay.
+    """
+
+    dim: int
+    num_heads: int
+    layers: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        for i in range(self.layers):
+            x = AttentionBlock(
+                self.dim, self.num_heads, 0.0, self.dtype, name=f"layer{i}"
+            )(x, mask, True)
+        return x
+
+
+class PipelinedAttentionEncoder(nn.Module):
+    """Deep attention encoder whose block stack runs as GPipe stages.
+
+    The "upgraded encoders" configuration (BASELINE config 4; SURVEY.md §2
+    row 19 pp): ``num_layers`` attention blocks are grouped into
+    ``n_stages`` stages whose parameters live on a leading ``[n_stages,…]``
+    axis. With a mesh whose ``model`` axis is >1 each device materializes
+    ONLY its stage's weights (model-memory scaling along depth) and
+    microbatches stream through the ICI ring
+    (:func:`avsum_tpu.parallel.pipeline.pipeline_apply`). Without a mesh
+    the same stacked parameters are applied sequentially via ``lax.scan`` —
+    numerically identical, so checkpoints are mesh-portable.
+    """
+
+    hidden: int
+    num_layers: int = 12
+    n_stages: int = 4
+    num_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+    pp_mesh: object = None  # jax.sharding.Mesh or None (sequential fallback)
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        del deterministic  # stages are dropout-free (see StageBlocks)
+        if self.num_layers % self.n_stages != 0:
+            raise ValueError(
+                f"temporal_layers={self.num_layers} must divide into "
+                f"pp_stages={self.n_stages} equal stages"
+            )
+        b, s, f = x.shape
+        x = x + sinusoidal_positions(s, f, x.dtype)[None]
+        core = StageBlocks(
+            self.hidden,
+            self.num_heads,
+            self.num_layers // self.n_stages,
+            self.dtype,
+        )
+
+        def init_stages(rng):
+            from avsum_tpu.parallel.pipeline import stack_stage_params
+
+            sample = jnp.zeros((1, s, f), x.dtype)
+            per_stage = [
+                core.init(r, sample, None)["params"]
+                for r in jax.random.split(rng, self.n_stages)
+            ]
+            return stack_stage_params(per_stage)
+
+        stacked = self.param("stages", init_stages)
+
+        def stage_fn(p, xx, mm):
+            return core.apply({"params": p}, xx, mm)
+
+        if self.remat:
+            stage_fn = jax.checkpoint(stage_fn)
+
+        if self.pp_mesh is not None:
+            import math
+
+            from avsum_tpu.parallel.pipeline import pipeline_apply
+
+            n_micro = b if b % self.n_stages == 0 else math.gcd(b, self.n_stages)
+            x = pipeline_apply(
+                stage_fn,
+                stacked,
+                x,
+                self.pp_mesh,
+                mask,
+                num_microbatches=min(n_micro, b),
+            )
+        else:
+
+            def body(carry, p):
+                return stage_fn(p, carry, mask), None
+
+            x, _ = jax.lax.scan(body, x, stacked)
+        if mask is not None:
+            x = x * mask.astype(x.dtype)[..., None]
         return x
 
 

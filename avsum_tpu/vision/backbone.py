@@ -329,10 +329,20 @@ def make_visual_frontend(
 
         model = _ResNetOnly()
     elif config.backbone == "vit":
-        from avsum_tpu.vision.vit import ViTBackbone
+        from avsum_tpu.vision.vit import VIT_VARIANTS, ViTBackbone
 
+        if config.vit_variant not in VIT_VARIANTS:
+            raise ValueError(
+                f"unknown vit_variant {config.vit_variant!r}; "
+                f"options: {sorted(VIT_VARIANTS)}"
+            )
+        embed, depth, heads, cls = VIT_VARIANTS[config.vit_variant]
         model = ViTBackbone(
             out_dim=config.feature_dim,
+            embed_dim=embed,
+            depth=depth,
+            num_heads=heads,
+            cls_token=cls,
             image_size=config.resnet_size,
             dtype=dtype,
         )

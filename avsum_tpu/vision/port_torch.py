@@ -118,3 +118,98 @@ def dual_backbone_variables(resnet_state_dict, inception_state_dict) -> Dict:
         "params": {"resnet": r_params, "inception": i_params},
         "batch_stats": {"resnet": r_stats, "inception": i_stats},
     }
+
+
+def vit_from_torch(state_dict) -> Tuple[Dict, Dict[str, int]]:
+    """torchvision ``vit_b_16``-layout state_dict -> (params, arch).
+
+    Returns the parameter pytree for :class:`avsum_tpu.vision.vit.ViT`
+    instantiated with ``cls_token=True`` and the inferred architecture
+    kwargs ``{embed_dim, depth, num_heads, patch_size, image_size}`` —
+    the "upgraded encoders" pretrained path (BASELINE config 4; the
+    pretrained-backbone pattern of extractors.py:25-26).
+
+    Key mapping (torchvision vision_transformer.py layout):
+      conv_proj.{weight,bias}                 -> patch_embed/{kernel,bias}
+      class_token                             -> cls
+      encoder.pos_embedding                   -> pos_embed
+      encoder.layers.encoder_layer_i.
+        ln_1.{weight,bias}                    -> block{i}/LayerNorm_0
+        self_attention.in_proj_{weight,bias}  -> block{i}/MHSA_0/qkv
+          (packed [3E, E] rows = q;k;v        ->  kernel [E, 3, H, D])
+        self_attention.out_proj.{weight,bias} -> block{i}/MHSA_0/out
+          ([E, E]                             ->  kernel [H, D, E])
+        ln_2.{weight,bias}                    -> block{i}/LayerNorm_1
+        mlp.{0|linear_1}.{weight,bias}        -> block{i}/Dense_0
+        mlp.{3|linear_2}.{weight,bias}        -> block{i}/Dense_1
+      encoder.ln.{weight,bias}                -> final_norm
+      heads.*                                 -> dropped (feature extractor)
+    """
+
+    def npy(t):
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+    sd = {k: npy(v) for k, v in state_dict.items() if not k.startswith("heads.")}
+    embed = int(sd["class_token"].shape[-1])
+    n_pos = int(sd["encoder.pos_embedding"].shape[1])
+    patch = int(sd["conv_proj.weight"].shape[-1])
+    grid = int(round((n_pos - 1) ** 0.5))
+    depth = 1 + max(
+        int(k.split("encoder_layer_")[1].split(".")[0])
+        for k in sd
+        if "encoder_layer_" in k
+    )
+    # heads from the packed qkv: torch stores no head count, but every
+    # torchvision ViT uses head_dim 64
+    heads = embed // 64
+
+    params: Dict[str, np.ndarray] = {
+        "patch_embed/kernel": _convert_conv(sd.pop("conv_proj.weight")),
+        "patch_embed/bias": sd.pop("conv_proj.bias"),
+        "cls": sd.pop("class_token"),
+        "pos_embed": sd.pop("encoder.pos_embedding"),
+        "final_norm/scale": sd.pop("encoder.ln.weight"),
+        "final_norm/bias": sd.pop("encoder.ln.bias"),
+    }
+    d = embed // heads
+    for i in range(depth):
+        src = f"encoder.layers.encoder_layer_{i}."
+        dst = f"block{i}/"
+        mhsa = dst + "MultiHeadSelfAttention_0/"
+        params[dst + "LayerNorm_0/scale"] = sd.pop(src + "ln_1.weight")
+        params[dst + "LayerNorm_0/bias"] = sd.pop(src + "ln_1.bias")
+        w = sd.pop(src + "self_attention.in_proj_weight")  # [3E, E]
+        b = sd.pop(src + "self_attention.in_proj_bias")  # [3E]
+        params[mhsa + "qkv/kernel"] = np.ascontiguousarray(
+            w.T.reshape(embed, 3, heads, d)
+        )
+        params[mhsa + "qkv/bias"] = b.reshape(3, heads, d)
+        wo = sd.pop(src + "self_attention.out_proj.weight")  # [E, E]
+        params[mhsa + "out/kernel"] = np.ascontiguousarray(
+            wo.T.reshape(heads, d, embed)
+        )
+        params[mhsa + "out/bias"] = sd.pop(src + "self_attention.out_proj.bias")
+        params[dst + "LayerNorm_1/scale"] = sd.pop(src + "ln_2.weight")
+        params[dst + "LayerNorm_1/bias"] = sd.pop(src + "ln_2.bias")
+        for flax_name, candidates in (
+            ("Dense_0", ("mlp.0", "mlp.linear_1")),
+            ("Dense_1", ("mlp.3", "mlp.linear_2")),
+        ):
+            key = next(
+                c for c in candidates if src + c + ".weight" in sd
+            )
+            params[dst + flax_name + "/kernel"] = np.ascontiguousarray(
+                sd.pop(src + key + ".weight").T
+            )
+            params[dst + flax_name + "/bias"] = sd.pop(src + key + ".bias")
+    leftovers = [k for k in sd if "dropout" not in k]
+    if leftovers:
+        raise KeyError(f"unmapped torchvision ViT keys: {leftovers[:5]}")
+    arch = {
+        "embed_dim": embed,
+        "depth": depth,
+        "num_heads": heads,
+        "patch_size": patch,
+        "image_size": grid * patch,
+    }
+    return _nest(params), arch

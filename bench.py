@@ -1,20 +1,26 @@
 """End-to-end benchmark: decode -> shots -> features -> score -> summary.
 
-Prints ONE JSON line:
+Prints ONE JSON line with the driver contract keys
   {"metric": "e2e_video_fps", "value": N, "unit": "frames/sec",
    "vs_baseline": N / 1800}
+plus self-describing context (media resolution/duration, config
+fingerprint, backend), per-stage wall seconds for the best run, warm-vs-
+cold warmup (a second process against the persistent compilation cache),
+and a device-efficiency estimate (embed-stage FLOPs vs v5e bf16 peak).
 
 The north-star target (BASELINE.md) is 1 hour of 30 fps video end-to-end
 in < 60 s on one v5e chip = 1800 source frames/sec; vs_baseline is the
 ratio against that target. The measured pipeline is the real one
 (full ResNet50+InceptionV3 dual backbone in bf16, 296-d audio features,
 flagship AVScorer, knapsack selection), on a cached synthetic 640x360
-(TVSum-class resolution) 2-minute scene video. Detailed stage timings go
-to stderr.
+(TVSum-class resolution) 2-minute scene video — the loop it replaces is
+the reference's per-shot micro-batched CPU extraction
+(/root/reference/features/extractors.py:43-115).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -22,7 +28,9 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data
 STEM = os.path.join(BENCH_DIR, "bench_640x360_120s")
 FPS = 30.0
 SECONDS = 120
+WIDTH, HEIGHT = 640, 360
 TARGET_FPS = 1800.0  # 1 h in 60 s
+V5E_BF16_PEAK = 1.97e14  # TPU v5e peak bf16 FLOP/s (one chip)
 
 
 def log(msg):
@@ -32,8 +40,6 @@ def log(msg):
 def ensure_native():
     """Build libavsumio.so if missing/stale (the committed binary may not
     match this machine)."""
-    import subprocess
-
     native_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
     so = os.path.join(native_dir, "libavsumio.so")
     src = os.path.join(native_dir, "avsumio.cc")
@@ -56,27 +62,17 @@ def ensure_media():
         n_scenes=25,
         seed=123,
         fps=FPS,
-        height=360,
-        width=640,
+        height=HEIGHT,
+        width=WIDTH,
         scene_len_frames=(90, 210),
     )
     log(f"bench media written in {time.perf_counter() - t0:.1f}s")
 
 
-def main():
-    ensure_native()
-    ensure_media()
-
-    import jax
-
+def build_pipeline():
     from avsum_tpu.models import make_model
     from avsum_tpu.pipeline import AVPipeline
     from avsum_tpu.train.config import load_config
-    from avsum_tpu.utils.jaxcache import enable_compilation_cache
-
-    cache_dir = enable_compilation_cache()
-    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    log(f"compilation cache: {cache_dir}")
 
     cfg = load_config(
         overrides=[
@@ -88,6 +84,7 @@ def main():
     pipeline.visual.batch_size = 128
 
     model = make_model(cfg.model)
+    import jax
     import jax.numpy as jnp
 
     rng = jax.random.PRNGKey(0)
@@ -97,30 +94,128 @@ def main():
         jnp.zeros((1, 8, cfg.model.audio_dim)),
         jnp.ones((1, 8)),
     )["params"]
+    return cfg, pipeline, model, params
 
+
+def embed_flops_per_frame(pipeline) -> float:
+    """FLOPs one embedded frame costs on device: XLA's own cost analysis
+    of the compiled YUV->RGB->dual-backbone program (falls back to the
+    analytic ResNet50+InceptionV3 count if the backend won't say)."""
+    import numpy as np
+
+    bs = pipeline.visual.batch_size
+    try:
+        y = np.zeros((bs, HEIGHT, WIDTH), np.uint8)
+        u = v = np.zeros((bs, HEIGHT // 2, WIDTH // 2), np.uint8)
+        cost = (
+            pipeline.visual._embed_yuv.lower(pipeline.visual.variables, y, u, v)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            return flops / bs
+    except Exception as e:  # noqa: BLE001 — backend-dependent API
+        log(f"cost_analysis unavailable ({e}); using analytic FLOPs")
+    # analytic: ResNet50@224 ~4.1 GMAC + InceptionV3@299 ~5.7 GMAC, x2
+    return 19.6e9
+
+
+def warm_probe() -> None:
+    """Child-process mode: measure warmup in a FRESH process against the
+    same persistent compilation cache, print one JSON line, exit."""
+    ensure_native()
+    ensure_media()
+    from avsum_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg, pipeline, model, params = build_pipeline()
+    t0 = time.perf_counter()
+    pipeline.summarize(STEM + ".y4m", model, params)
+    print(json.dumps({"warmup_s": round(time.perf_counter() - t0, 1)}))
+
+
+def main():
+    ensure_native()
+    ensure_media()
+
+    import jax
+
+    from avsum_tpu.data.cache import config_fingerprint
+    from avsum_tpu.utils.jaxcache import enable_compilation_cache
+    from avsum_tpu.utils.profiling import collect_stages
+
+    cache_dir = enable_compilation_cache()
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    log(f"compilation cache: {cache_dir}")
+
+    cfg, pipeline, model, params = build_pipeline()
     video = STEM + ".y4m"
 
-    # warmup pass: compiles every jit program (content scores, backbone
-    # batches, audio front-end, scorer)
+    # cold warmup: compiles every jit program (content scores, backbone
+    # batches, audio front-end, scorer) — or loads them from a prior
+    # process's compilation cache
     t0 = time.perf_counter()
     pipeline.summarize(video, model, params)
-    log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+    warmup_cold = time.perf_counter() - t0
+    log(f"warmup (this process): {warmup_cold:.1f}s")
 
-    # measured pass
-    runs = []
+    # measured passes, with per-stage attribution on every run
+    runs, stage_runs = [], []
     for i in range(4):
-        t0 = time.perf_counter()
-        result = pipeline.summarize(video, model, params)
-        dt = time.perf_counter() - t0
+        with collect_stages() as stages:
+            t0 = time.perf_counter()
+            result = pipeline.summarize(video, model, params)
+            dt = time.perf_counter() - t0
         runs.append(dt)
-        log(f"run {i}: {dt:.2f}s")
+        stage_runs.append(dict(stages))
+        log(f"run {i}: {dt:.2f}s stages={ {k.split('.')[-1]: round(v, 3) for k, v in stages.items()} }")
 
-    best = min(runs)
+    best_i = min(range(len(runs)), key=lambda i: runs[i])
+    best = runs[best_i]
+    best_stages = {
+        k.split(".")[-1]: round(v, 3) for k, v in stage_runs[best_i].items()
+    }
     n_frames = int(result["n_frames"])
     fps = n_frames / best
+
+    # device-efficiency estimate: embed FLOPs over the WHOLE best run —
+    # a lower bound on MFU (the chip is also idle during host/link time;
+    # separating tunnel weather from device regressions is the point)
+    n_embedded = len(
+        range(0, n_frames, max(1, round(FPS / cfg.visual.sample_fps)))
+    )
+    fpf = embed_flops_per_frame(pipeline)
+    mfu_lb = n_embedded * fpf / best / V5E_BF16_PEAK
+
+    # warm-start proof: a second process against the same compilation
+    # cache (skipped off-TPU where compile times are not the story)
+    warmup_warm = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--warm-probe"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                warmup_warm = json.loads(line)["warmup_s"]
+                break
+            except (json.JSONDecodeError, KeyError):
+                continue
+        if warmup_warm is None:
+            log(f"warm probe failed: {out.stderr[-500:]}")
+    except Exception as e:  # noqa: BLE001
+        log(f"warm probe failed: {e}")
+
     log(
         f"{n_frames} frames in {best:.2f}s -> {fps:.0f} eff fps; "
-        f"summary {len(result['segments'])} segments"
+        f"summary {len(result['segments'])} segments; "
+        f"embed MFU >= {100 * mfu_lb:.1f}%; "
+        f"warmup cold {warmup_cold:.1f}s / warm {warmup_warm}s"
     )
     print(
         json.dumps(
@@ -129,10 +224,31 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / TARGET_FPS, 3),
+                "media": {
+                    "width": WIDTH,
+                    "height": HEIGHT,
+                    "fps": FPS,
+                    "seconds": SECONDS,
+                    "n_frames": n_frames,
+                },
+                "config_fingerprint": config_fingerprint(
+                    cfg.visual, cfg.audio, pipeline.detector
+                ),
+                "backend": jax.default_backend(),
+                "runs_s": [round(r, 3) for r in runs],
+                "stages_s": best_stages,
+                "n_embedded_frames": n_embedded,
+                "embed_gflops_per_frame": round(fpf / 1e9, 2),
+                "mfu_lower_bound_pct": round(100 * mfu_lb, 2),
+                "warmup_cold_s": round(warmup_cold, 1),
+                "warmup_warm_s": warmup_warm,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--warm-probe" in sys.argv:
+        warm_probe()
+    else:
+        main()

@@ -1,0 +1,105 @@
+"""Parity harness smoke: the literal reference model trains and the full
+reference-vs-rebuild comparison runs end to end (CI scale).
+
+The reportable run (full settings) writes PARITY_F1.md / PARITY_F1.json at
+the repo root; this test pins the machinery: reference-model semantics,
+shared features/targets/splits, one-protocol evaluation, report writing.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scripts.parity_reference import (
+    ParitySettings,
+    build_reference_model,
+    run_parity,
+    score_with_reference,
+    train_reference_model,
+    write_reports,
+)
+
+
+def test_reference_model_semantics():
+    """The re-instantiated reference model must reproduce av_model.py's
+    forward contract: [1,S,Dv]x[1,S,Da] -> [S] sigmoid scores, and the
+    §8.5 batch_first quirk (attention over a length-1 sequence = a
+    per-shot map, so permuting shots permutes scores identically)."""
+    import torch
+
+    torch.manual_seed(0)
+    dv, da, s = 32, 12, 9
+    model = build_reference_model(dv, da, hidden_dim=16)
+    model.eval()
+    v = torch.randn(1, s, dv)
+    a = torch.randn(1, s, da)
+    with torch.no_grad():
+        out = model(v, a)
+    assert out.shape == (s,)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_reference_training_reduces_loss():
+    import torch
+    import torch.nn.functional as F
+
+    from avsum_tpu.data.batching import VideoExample
+
+    rng = np.random.default_rng(0)
+    examples = []
+    for i in range(3):
+        s = 8
+        visual = rng.standard_normal((s, 24)).astype(np.float32)
+        targets = (visual[:, 0] > 0).astype(np.float32)
+        examples.append(
+            VideoExample(
+                video_id=f"v{i}",
+                visual=visual,
+                audio=rng.standard_normal((s, 10)).astype(np.float32),
+                targets=targets,
+            )
+        )
+
+    model = build_reference_model(24, 10, hidden_dim=32)
+
+    def total_loss():
+        model.eval()
+        with torch.no_grad():
+            return sum(
+                float(
+                    F.mse_loss(
+                        torch.from_numpy(
+                            score_with_reference(model, ex)
+                        ),
+                        torch.from_numpy(ex.targets),
+                    )
+                )
+                for ex in examples
+            )
+
+    before = total_loss()
+    train_reference_model(model, examples, epochs=60, lr=1e-3)
+    after = total_loss()
+    assert after < before * 0.5, (before, after)
+
+
+@pytest.mark.slow
+def test_parity_run_end_to_end(tmp_path):
+    st = ParitySettings(
+        n_videos=6, n_scenes=6, epochs=6, hidden_dim=32, n_folds=2
+    )
+    result = run_parity(str(tmp_path / "work"), st)
+    models = result["models"]
+    assert set(models) == {
+        "reference_torch_bilstm", "avsum_bilstm", "avsum_attention"
+    }
+    for r in models.values():
+        assert 0.0 <= r["canonical_f1"] <= 1.0
+        assert len(r["per_fold_canonical_f1"]) == 2
+    assert "delta_canonical_f1_pts" in models["avsum_attention"]
+    write_reports(result, str(tmp_path))
+    assert os.path.exists(tmp_path / "PARITY_F1.md")
+    loaded = json.load(open(tmp_path / "PARITY_F1.json"))
+    assert loaded["models"].keys() == models.keys()

@@ -195,3 +195,136 @@ def test_dual_backbone_contract_dim():
     variables = fast_init(model, x)
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 4096)
+
+
+def test_vit_port_matches_torch_mini():
+    """vit_from_torch parity without torchvision: a minimal torch ViT with
+    torchvision's exact state-dict layout (conv_proj, class_token,
+    encoder.pos_embedding, encoder_layer_i.{ln_1,self_attention,ln_2,mlp},
+    encoder.ln) must match the Flax ViT(cls_token=True) bit-for-bit."""
+    from avsum_tpu.vision.port_torch import vit_from_torch
+    from avsum_tpu.vision.vit import ViT
+
+    embed, depth, patch, img = 64, 2, 8, 32  # heads = embed // 64 = 1
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            # torchvision ViT builds all LayerNorms with eps=1e-6
+            self.ln_1 = torch.nn.LayerNorm(embed, eps=1e-6)
+            self.self_attention = torch.nn.MultiheadAttention(
+                embed, embed // 64, batch_first=True
+            )
+            self.ln_2 = torch.nn.LayerNorm(embed, eps=1e-6)
+            self.mlp = torch.nn.Sequential(
+                torch.nn.Linear(embed, 4 * embed),
+                torch.nn.GELU(),
+                torch.nn.Dropout(0.0),
+                torch.nn.Linear(4 * embed, embed),
+                torch.nn.Dropout(0.0),
+            )
+
+        def forward(self, x):
+            y = self.ln_1(x)
+            y, _ = self.self_attention(y, y, y, need_weights=False)
+            x = x + y
+            return x + self.mlp(self.ln_2(x))
+
+    class MiniViT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            n = (img // patch) ** 2
+            self.conv_proj = torch.nn.Conv2d(3, embed, patch, patch)
+            self.class_token = torch.nn.Parameter(torch.zeros(1, 1, embed))
+            self.encoder = torch.nn.Module()
+            self.encoder.pos_embedding = torch.nn.Parameter(
+                torch.empty(1, n + 1, embed).normal_(std=0.02)
+            )
+            self.encoder.layers = torch.nn.ModuleDict(
+                {f"encoder_layer_{i}": Block() for i in range(depth)}
+            )
+            self.encoder.ln = torch.nn.LayerNorm(embed, eps=1e-6)
+
+        def forward(self, x):
+            x = self.conv_proj(x)  # [B, E, gh, gw]
+            x = x.flatten(2).permute(0, 2, 1)  # [B, N, E]
+            cls = self.class_token.expand(x.shape[0], -1, -1)
+            x = torch.cat([cls, x], dim=1) + self.encoder.pos_embedding
+            for i in range(depth):
+                x = self.encoder.layers[f"encoder_layer_{i}"](x)
+            return self.encoder.ln(x)[:, 0]
+
+    torch.manual_seed(3)
+    tv = MiniViT()
+    with torch.no_grad():
+        tv.class_token.normal_(std=0.02)
+    tv.eval()
+    params, arch = vit_from_torch(tv.state_dict())
+    assert arch == {
+        "embed_dim": embed, "depth": depth, "num_heads": embed // 64,
+        "patch_size": patch, "image_size": img,
+    }
+    x = np.random.default_rng(3).standard_normal((2, img, img, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        theirs = tv(_to_nchw(x)).numpy()
+    ours = np.asarray(
+        ViT(cls_token=True, preprocess=False, **arch).apply(
+            {"params": params}, x, train=False
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_vit_backbone_variables_wiring():
+    """Ported ViT weights compose into a ViTBackbone variable tree the
+    visual frontend can consume (pretrained transformer + seeded random
+    `project` readout)."""
+    from avsum_tpu.vision.vit import vit_backbone_variables
+
+    rng = np.random.default_rng(5)
+    e, depth, patch, img = 64, 1, 8, 16
+
+    def arr(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    sd = {
+        "conv_proj.weight": arr(e, 3, patch, patch),
+        "conv_proj.bias": arr(e),
+        "class_token": arr(1, 1, e),
+        "encoder.pos_embedding": arr(1, (img // patch) ** 2 + 1, e),
+        "encoder.ln.weight": np.ones(e, np.float32),
+        "encoder.ln.bias": arr(e),
+    }
+    pre = "encoder.layers.encoder_layer_0."
+    sd.update({
+        pre + "ln_1.weight": np.ones(e, np.float32),
+        pre + "ln_1.bias": arr(e),
+        pre + "self_attention.in_proj_weight": arr(3 * e, e),
+        pre + "self_attention.in_proj_bias": arr(3 * e),
+        pre + "self_attention.out_proj.weight": arr(e, e),
+        pre + "self_attention.out_proj.bias": arr(e),
+        pre + "ln_2.weight": np.ones(e, np.float32),
+        pre + "ln_2.bias": arr(e),
+        pre + "mlp.0.weight": arr(4 * e, e),
+        pre + "mlp.0.bias": arr(4 * e),
+        pre + "mlp.3.weight": arr(e, 4 * e),
+        pre + "mlp.3.bias": arr(e),
+    })
+    module, variables = vit_backbone_variables(sd, out_dim=128)
+    x = rng.integers(0, 255, (2, img, img, 3)).astype(np.uint8)
+    out = np.asarray(module.apply(variables, x, train=False))
+    assert out.shape == (2, 128)
+    assert np.isfinite(out).all()
+    # the ported weights are live: zeroing the transformer changes output
+    import jax
+
+    zeroed = {
+        "params": {
+            "vit": jax.tree.map(np.zeros_like, variables["params"]["vit"]),
+            "project": variables["params"]["project"],
+        }
+    }
+    out0 = np.asarray(module.apply(zeroed, x, train=False))
+    assert np.abs(out - out0).max() > 1e-4

@@ -51,3 +51,34 @@ def test_inception_v3_matches_torchvision():
         InceptionV3().apply({"params": params, "batch_stats": stats}, x, train=False)
     )
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
+
+
+def test_vit_b16_matches_torchvision():
+    """Ported vit_b_16 weights reproduce torchvision's eval features
+    (pre-head representation: class token after encoder.ln) exactly."""
+    from avsum_tpu.vision.port_torch import vit_from_torch
+    from avsum_tpu.vision.vit import ViT
+
+    torch.manual_seed(2)
+    tv = tvm.vit_b_16(weights=None)
+    tv.eval()
+    params, arch = vit_from_torch(tv.state_dict())
+    assert arch == {
+        "embed_dim": 768, "depth": 12, "num_heads": 12,
+        "patch_size": 16, "image_size": 224,
+    }
+    x = np.random.default_rng(2).standard_normal((2, 224, 224, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+        feats = tv._process_input(xt)
+        cls = tv.class_token.expand(feats.shape[0], -1, -1)
+        feats = torch.cat([cls, feats], dim=1)
+        theirs = tv.encoder(feats)[:, 0].numpy()
+
+    ours = np.asarray(
+        ViT(cls_token=True, preprocess=False, **arch).apply(
+            {"params": params}, x, train=False
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
