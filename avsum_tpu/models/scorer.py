@@ -79,6 +79,24 @@ class AVScorer(nn.Module):
             return None
         return self.mesh
 
+    def _pp_mesh(self):
+        """Mesh for pipeline parallelism (model axis = GPipe stage ring).
+        Requires the axis size to equal ``pp_stages`` so every device holds
+        exactly one stage (pipeline_apply validates the leading axis)."""
+        if self.mesh is None or self.config.pp_stages <= 1:
+            return None
+        from avsum_tpu.parallel.mesh import AXIS_MODEL
+
+        m = dict(self.mesh.shape).get(AXIS_MODEL, 1)
+        if m <= 1:
+            return None
+        if m != self.config.pp_stages:
+            raise ValueError(
+                f"model.pp_stages={self.config.pp_stages} must equal the "
+                f"mesh's model axis size {m} (one stage per device)"
+            )
+        return self.mesh
+
     def _temporal(self, name: str, use_pallas: bool = False):
         cfg = self.config
         dtype = _DTYPES[cfg.dtype]
@@ -86,6 +104,19 @@ class AVScorer(nn.Module):
         if kind == "bilstm":
             return BiLSTM(cfg.hidden_dim, dtype=dtype, name=name)
         if kind == "attention":
+            if cfg.pp_stages > 1:
+                from avsum_tpu.models.temporal import PipelinedAttentionEncoder
+
+                return PipelinedAttentionEncoder(
+                    cfg.hidden_dim,
+                    num_layers=cfg.temporal_layers,
+                    n_stages=cfg.pp_stages,
+                    num_heads=cfg.num_heads,
+                    dtype=dtype,
+                    pp_mesh=self._pp_mesh(),
+                    remat=cfg.remat,
+                    name=name,
+                )
             return AttentionEncoder(
                 cfg.hidden_dim,
                 num_layers=cfg.temporal_layers,

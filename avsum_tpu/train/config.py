@@ -95,6 +95,9 @@ class VisualFeatConfig:
     # torchvision downloads (extractors.py:25-26)
     weights: str = ""
     feature_dim: int = 4096  # 2048 + 2048 concat contract (extractors.py:108)
+    # backbone=vit only: s16 (from-scratch, mean pool) | b16 (torchvision
+    # vit_b_16 layout — the one the offline weight port targets)
+    vit_variant: str = "s16"
     dtype: str = "bfloat16"
 
 
@@ -108,6 +111,14 @@ class ModelConfig:
     dropout: float = 0.3
     temporal_encoder: str = "attention"  # attention | bilstm | tcn | moe
     temporal_layers: int = 2
+    # pipeline parallelism for the attention encoder (temporal_encoder:
+    # "attention" only): >1 groups temporal_layers into this many GPipe
+    # stages sharded over the mesh's `model` axis (one stage's weights per
+    # device, microbatches streaming over the ICI ring). 0/1 = off. The
+    # stage axis must equal mesh.model when the mesh's model axis is >1;
+    # without a model axis the same stacked params run sequentially
+    # (identical math, mesh-portable checkpoints).
+    pp_stages: int = 0
     # mixture-of-experts temporal encoder (temporal_encoder: "moe", the
     # expert-parallel upgraded-encoder path — experts shard over the mesh's
     # `model` axis when the trainer passes a mesh)

@@ -111,13 +111,18 @@ def shard_batch_dict(batch: Batch, mesh: Mesh) -> Batch:
 
 
 def _mesh_model(model, mesh: Optional[Mesh]):
-    """Clone the scorer onto the mesh so its attention runs ring-mode when
-    the seq axis is >1 (context parallelism; params are unchanged)."""
+    """Clone the scorer onto the mesh so mesh-dependent execution modes
+    activate (params are identical either way): seq axis >1 -> ring
+    attention (context parallelism); model axis >1 -> expert parallelism
+    (MoE) / GPipe pipeline stages (``model.pp_stages``)."""
     if (
         mesh is not None
         and hasattr(model, "mesh")
         and getattr(model, "mesh", None) is None
-        and dict(mesh.shape).get(AXIS_SEQ, 1) > 1
+        and (
+            dict(mesh.shape).get(AXIS_SEQ, 1) > 1
+            or dict(mesh.shape).get(AXIS_MODEL, 1) > 1
+        )
     ):
         return model.clone(mesh=mesh)
     return model
@@ -137,9 +142,24 @@ def param_partition_spec(x, mesh: Mesh) -> P:
 
 
 def state_shardings(state, mesh: Mesh):
-    """NamedSharding pytree for a TrainState (params + mirrored opt state)."""
-    return jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, param_partition_spec(x, mesh)), state
+    """NamedSharding pytree for a TrainState (params + mirrored opt state).
+
+    Pipeline-stage parameters (every leaf under a ``stages`` collection,
+    :class:`avsum_tpu.models.temporal.PipelinedAttentionEncoder`) shard
+    their leading stage axis over ``model`` — each device holds one stage's
+    weights; everything else follows the TP rule."""
+    m = dict(mesh.shape).get(AXIS_MODEL, 1)
+
+    def spec(path, x):
+        ndim = getattr(x, "ndim", 0)
+        if any(getattr(k, "key", None) == "stages" for k in path):
+            if m > 1 and ndim >= 1 and x.shape[0] % m == 0:
+                return P(*([AXIS_MODEL] + [None] * (ndim - 1)))
+            return P()
+        return param_partition_spec(x, mesh)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec(p, x)), state
     )
 
 
