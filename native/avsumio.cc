@@ -52,6 +52,9 @@ struct Y4M {
   size_t csize = 0;
   size_t frame_bytes = 0;  // includes "FRAME\n"
   int chroma_div_h = 2, chroma_div_w = 2;
+  // log2 of the divs (1/2/4 only): per-pixel x / chroma_div_w lowers to
+  // a hardware idiv (~20-40 cycles) — a shift keeps decode vectorizable
+  int chroma_shift_h = 1, chroma_shift_w = 1;
 
   // prefetch state
   std::thread worker;
@@ -65,12 +68,12 @@ struct Y4M {
 
 // BT.601 full-range YCbCr -> RGB with 16.16 fixed point.
 inline void yuv_to_rgb_row(const uint8_t* y, const uint8_t* u_row,
-                           const uint8_t* v_row, int width, int chroma_div_w,
+                           const uint8_t* v_row, int width, int chroma_shift_w,
                            uint8_t* out) {
   for (int x = 0; x < width; ++x) {
     int Y = y[x];
-    int U = u_row[x / chroma_div_w] - 128;
-    int V = v_row[x / chroma_div_w] - 128;
+    int U = u_row[x >> chroma_shift_w] - 128;
+    int V = v_row[x >> chroma_shift_w] - 128;
     // r = Y + 1.402 V ; g = Y - 0.344136 U - 0.714136 V ; b = Y + 1.772 U
     int r = Y + ((91881 * V) >> 16);
     int g = Y - ((22554 * U + 46802 * V) >> 16);
@@ -91,10 +94,10 @@ void decode_frame(const Y4M* r, long index, uint8_t* out) {
   const uint8_t* vp = up + r->csize;
   int cw = r->width / r->chroma_div_w;
   for (int row = 0; row < r->height; ++row) {
-    const uint8_t* u_row = up + (size_t)(row / r->chroma_div_h) * cw;
-    const uint8_t* v_row = vp + (size_t)(row / r->chroma_div_h) * cw;
+    const uint8_t* u_row = up + (size_t)(row >> r->chroma_shift_h) * cw;
+    const uint8_t* v_row = vp + (size_t)(row >> r->chroma_shift_h) * cw;
     yuv_to_rgb_row(yp + (size_t)row * r->width, u_row, v_row, r->width,
-                   r->chroma_div_w, out + (size_t)row * r->width * 3);
+                   r->chroma_shift_w, out + (size_t)row * r->width * 3);
   }
 }
 
@@ -111,14 +114,14 @@ void decode_frame_scaled(const Y4M* r, long index, int scale, uint8_t* out) {
   for (int row = 0; row < oh; ++row) {
     int src_row = row * scale;
     const uint8_t* y_row = yp + (size_t)src_row * r->width;
-    const uint8_t* u_row = up + (size_t)(src_row / r->chroma_div_h) * cw;
-    const uint8_t* v_row = vp + (size_t)(src_row / r->chroma_div_h) * cw;
+    const uint8_t* u_row = up + (size_t)(src_row >> r->chroma_shift_h) * cw;
+    const uint8_t* v_row = vp + (size_t)(src_row >> r->chroma_shift_h) * cw;
     uint8_t* o = out + (size_t)row * ow * 3;
     for (int x = 0; x < ow; ++x) {
       int sx = x * scale;
       int Y = y_row[sx];
-      int U = u_row[sx / r->chroma_div_w] - 128;
-      int V = v_row[sx / r->chroma_div_w] - 128;
+      int U = u_row[sx >> r->chroma_shift_w] - 128;
+      int V = v_row[sx >> r->chroma_shift_w] - 128;
       int rr = Y + ((91881 * V) >> 16);
       int gg = Y - ((22554 * U + 46802 * V) >> 16);
       int bb = Y + ((116130 * U) >> 16);
@@ -176,42 +179,112 @@ inline void rgb_to_hsv(float r, float g, float b, float* h, float* s,
   *h = delta > 0.f ? hh * 0.5f : 0.f;
 }
 
+// Planar scaled decode: YUV420 -> float R,G,B planes. The interleaved-u8
+// rgb[3*i] gather of decode_frame_scaled defeats auto-vectorization of the
+// HSV consumer; planar float outputs make the scoring loop below a
+// textbook SIMD loop (measured ~3x on the coarse detection pass).
+void decode_frame_scaled_planar(const Y4M* r, long index, int scale,
+                                float* R, float* G, float* B,
+                                uint8_t* row_scratch /* >= 3*(width/scale) */) {
+  const uint8_t* frame = r->map + r->data_start + (size_t)index * r->frame_bytes;
+  const uint8_t* nl = (const uint8_t*)memchr(frame, '\n', r->frame_bytes);
+  const uint8_t* yp = nl + 1;
+  const uint8_t* up = yp + r->ysize;
+  const uint8_t* vp = up + r->csize;
+  int cw = r->width / r->chroma_div_w;
+  int oh = r->height / scale, ow = r->width / scale;
+  uint8_t* ys = row_scratch;
+  uint8_t* us = row_scratch + ow;
+  uint8_t* vs = row_scratch + 2 * ow;
+  for (int row = 0; row < oh; ++row) {
+    int src_row = row * scale;
+    const uint8_t* y_row = yp + (size_t)src_row * r->width;
+    const uint8_t* u_row = up + (size_t)(src_row >> r->chroma_shift_h) * cw;
+    const uint8_t* v_row = vp + (size_t)(src_row >> r->chroma_shift_h) * cw;
+    // phase 1: subsample into contiguous row buffers (cheap byte copies)
+    for (int x = 0; x < ow; ++x) {
+      int sx = x * scale;
+      ys[x] = y_row[sx];
+      int cx = sx >> r->chroma_shift_w;
+      us[x] = u_row[cx];
+      vs[x] = v_row[cx];
+    }
+    // phase 2: contiguous YUV -> planar float RGB (SIMD: unit-stride u8
+    // loads, integer math, converts — this is where the per-pixel work is)
+    size_t o = (size_t)row * ow;
+#pragma omp simd
+    for (int x = 0; x < ow; ++x) {
+      int Y = ys[x];
+      int U = us[x] - 128;
+      int V = vs[x] - 128;
+      int rr = Y + ((91881 * V) >> 16);
+      int gg = Y - ((22554 * U + 46802 * V) >> 16);
+      int bb = Y + ((116130 * U) >> 16);
+      R[o + x] = (float)(rr < 0 ? 0 : (rr > 255 ? 255 : rr));
+      G[o + x] = (float)(gg < 0 ? 0 : (gg > 255 ? 255 : gg));
+      B[o + x] = (float)(bb < 0 ? 0 : (bb > 255 ? 255 : bb));
+    }
+  }
+}
+
 // Host-side ContentDetector scores: decode (scaled), HSV, mean |diff| per
 // channel vs previous frame, average channels. Runs at memory bandwidth on
 // the host so NO frame bytes cross the (slow) host->TPU link for shot
 // detection. out[0] = 0, out[t] = score of frame start+t.
+//
+// The HSV+diff pass is fused and written without trapping divides (safe
+// denominators: s = delta * (255/max(mx,1)) is exact-zero whenever the
+// guarded form is, same for hue) so gcc -O3 -march=native vectorizes the
+// whole loop (vdivps + blends). Scores can differ from the guarded scalar
+// form by ~1 ulp; cut decisions are pinned exact in
+// tests/test_fast_paths.py::test_native_content_scores_same_cuts_as_device.
 int content_scores_impl(Y4M* r, long start, long stop, int scale,
                         float* out) {
   if (stop > r->n_frames) stop = r->n_frames;
   if (start < 0 || start >= stop || scale < 1) return -1;
   int oh = r->height / scale, ow = r->width / scale;
   size_t npix = (size_t)oh * ow;
-  std::vector<uint8_t> rgb(npix * 3);
-  std::vector<float> prev_h(npix), prev_s(npix), prev_v(npix);
+  std::vector<float> R(npix), G(npix), B(npix);
+  std::vector<uint8_t> scratch((size_t)ow * 3);
+  std::vector<float> prev_h(npix, 0.f), prev_s(npix, 0.f), prev_v(npix, 0.f);
   std::vector<float> cur_h(npix), cur_s(npix), cur_v(npix);
   for (long t = start; t < stop; ++t) {
-    if (scale == 1)
-      decode_frame(r, t, rgb.data());
-    else
-      decode_frame_scaled(r, t, scale, rgb.data());
-    // convert (branchless, vectorizable) ...
-    for (size_t i = 0; i < npix; ++i) {
-      rgb_to_hsv(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2],
-                 &cur_h[i], &cur_s[i], &cur_v[i]);
-    }
-    // ... then diff in a separate tight pass (float partials, summed into
-    // doubles per 4K chunk to keep accumulation error bounded)
+    decode_frame_scaled_planar(r, t, scale, R.data(), G.data(), B.data(),
+                               scratch.data());
+    // fused HSV + |diff| (float partials summed into doubles per 4K chunk
+    // to keep accumulation error bounded; first frame's diff is discarded)
     double total = 0.0;
-    if (t > start) {
-      for (size_t base = 0; base < npix; base += 4096) {
-        size_t end = base + 4096 < npix ? base + 4096 : npix;
-        float part = 0.f;
-        for (size_t i = base; i < end; ++i) {
-          part += fabsf(cur_h[i] - prev_h[i]) + fabsf(cur_s[i] - prev_s[i]) +
-                  fabsf(cur_v[i] - prev_v[i]);
-        }
-        total += part;
+    float* __restrict ch = cur_h.data();
+    float* __restrict cs = cur_s.data();
+    float* __restrict cv = cur_v.data();
+    const float* __restrict ph = prev_h.data();
+    const float* __restrict ps = prev_s.data();
+    const float* __restrict pv = prev_v.data();
+    const float* __restrict Rp = R.data();
+    const float* __restrict Gp = G.data();
+    const float* __restrict Bp = B.data();
+    for (size_t base = 0; base < npix; base += 4096) {
+      size_t end = base + 4096 < npix ? base + 4096 : npix;
+      float part = 0.f;
+      // simd reduction: gcc will not vectorize a float sum without an
+      // explicit associativity grant (-fopenmp-simd + this pragma)
+#pragma omp simd reduction(+ : part)
+      for (size_t i = base; i < end; ++i) {
+        float rf = Rp[i], gf = Gp[i], bf = Bp[i];
+        float mx = rf > gf ? (rf > bf ? rf : bf) : (gf > bf ? gf : bf);
+        float mn = rf < gf ? (rf < bf ? rf : bf) : (gf < bf ? gf : bf);
+        float delta = mx - mn;
+        float s = delta * (255.f / (mx > 0.f ? mx : 1.f));
+        float inv = 60.f / (delta > 0.f ? delta : 1.f);
+        float hh = mx == rf ? (gf - bf) * inv
+                            : (mx == gf ? 120.f + (bf - rf) * inv
+                                        : 240.f + (rf - gf) * inv);
+        hh = hh < 0.f ? hh + 360.f : hh;
+        float h = delta > 0.f ? hh * 0.5f : 0.f;
+        ch[i] = h; cs[i] = s; cv[i] = mx;
+        part += fabsf(h - ph[i]) + fabsf(s - ps[i]) + fabsf(mx - pv[i]);
       }
+      total += part;
     }
     out[t - start] = t == start ? 0.f : (float)(total / (3.0 * (double)npix));
     cur_h.swap(prev_h); cur_s.swap(prev_s); cur_v.swap(prev_v);
@@ -281,6 +354,8 @@ void* avsumio_y4m_open(const char* path) {
         case 'C':
           if (tok.rfind("C422", 0) == 0) { r->chroma_div_h = 1; r->chroma_div_w = 2; }
           else if (tok.rfind("C444", 0) == 0) { r->chroma_div_h = 1; r->chroma_div_w = 1; }
+          r->chroma_shift_h = r->chroma_div_h == 2 ? 1 : 0;
+          r->chroma_shift_w = r->chroma_div_w == 2 ? 1 : 0;
           break;
         default: break;
       }

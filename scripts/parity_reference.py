@@ -164,7 +164,7 @@ def score_with_reference(model, example) -> np.ndarray:
 
 @dataclasses.dataclass
 class ParitySettings:
-    n_videos: int = 15
+    n_videos: int = 20
     n_scenes: int = 10
     height: int = 48
     width: int = 64
@@ -175,31 +175,50 @@ class ParitySettings:
 
 
 def build_world(root: str, st: ParitySettings):
-    """Synthetic TVSum-50-shaped dataset + ONE shared feature cache."""
+    """Synthetic TVSum-50-shaped dataset + ONE shared feature cache.
+
+    Ground truth is CONTENT-CORRELATED and generalizable: a scene's true
+    importance is its brightness rank within the video (brighter scene =
+    more important), a signal any linear map of the pixels — including
+    random-weight backbones — carries into the cached features. A model
+    that learns the rule on the train folds scores above chance on the
+    test folds, so the reference-vs-rebuild delta measures learning, not
+    noise. The 20 annotators are noisy copies of that truth
+    (tests/helpers.py::write_fake_tvsum_mat), mirroring TVSum's
+    inter-annotator variance.
+    """
     from avsum_tpu.data.cache import FeatureCache
-    from avsum_tpu.io.synthetic import write_scene_video
+    from avsum_tpu.io.synthetic import make_scene_video
+    from avsum_tpu.io.wav import write_wav
+    from avsum_tpu.io.y4m import write_y4m
     from avsum_tpu.pipeline import AVPipeline
     from avsum_tpu.train.config import load_config
     from tests.helpers import write_fake_tvsum_mat
 
     video_dir = os.path.join(root, "videos")
     os.makedirs(video_dir, exist_ok=True)
-    rng = np.random.default_rng(st.seed)
     ids, frame_scores = [], []
     for i in range(st.n_videos):
         vid = f"pv{i:02d}"
-        scenes = write_scene_video(
-            os.path.join(video_dir, vid),
+        video, audio, scenes = make_scene_video(
             n_scenes=st.n_scenes,
             seed=1000 + i,
             height=st.height,
             width=st.width,
         )
+        stem = os.path.join(video_dir, vid)
+        write_y4m(stem + ".y4m", video, fps=30.0)
+        write_wav(stem + ".wav", audio, 16000)
         total = scenes[-1][1]
-        # content-correlated ground truth: per-scene importance levels
+        # true importance = within-video brightness rank of the scene
+        luma = np.asarray(
+            [float(video[s:e].mean()) for (s, e) in scenes], np.float64
+        )
+        ranks = np.argsort(np.argsort(luma))
+        imp = (ranks + 0.5) / len(scenes)
         scores = np.zeros(total, np.float32)
-        for (start, end) in scenes:
-            scores[start:end] = rng.random()
+        for (start, end), w in zip(scenes, imp):
+            scores[start:end] = w
         ids.append(vid)
         frame_scores.append(scores)
     mat_path = os.path.join(root, "ydata.mat")
