@@ -25,6 +25,18 @@ if not os.environ.get("AVSUM_TEST_TPU"):
     # The axon TPU plugin ignores the env var; force the platform explicitly.
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the suite: the long tail of suite wall time
+# is XLA compiles, and the CPU backend serializes executables, so repeat
+# runs skip nearly all of it (a cold suite is ~2x a warm one on this host).
+if not os.environ.get("AVSUM_TEST_NO_CACHE"):
+    from avsum_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache(
+        os.path.join(os.path.dirname(__file__), os.pardir, ".cache", "xla_test")
+    )
+    # suite programs are small; persist even fast compiles — they are many
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 
 @pytest.fixture(scope="session")
 def mesh8():

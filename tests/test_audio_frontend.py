@@ -28,6 +28,7 @@ def test_vggish_patches_short_audio_padded():
     assert patches.shape == (1, 96, 64)
 
 
+@pytest.mark.slow
 def test_vggish_network_output():
     import jax
 

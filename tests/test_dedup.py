@@ -42,6 +42,7 @@ def video(tmp_path_factory):
     return stem + ".y4m"
 
 
+@pytest.mark.slow
 @needs_native
 def test_tiny_threshold_is_exact(video):
     """Per-frame noise always exceeds a tiny threshold -> every frame is

@@ -22,6 +22,7 @@ def scorer():
     return cfg, model, params
 
 
+@pytest.mark.slow
 def test_export_roundtrip_matches_apply(scorer, tmp_path):
     cfg, model, params = scorer
     blob = export_scorer(
@@ -59,6 +60,7 @@ def test_export_needs_no_model_code(scorer):
     assert (out >= 0).all() and (out <= 1).all()  # sigmoid head
 
 
+@pytest.mark.slow
 def test_pipeline_scores_with_artifact(scorer, tmp_path):
     """summarize(path, artifact_fn, None) == summarize(path, model, params)."""
     from avsum_tpu.io.synthetic import write_scene_video

@@ -52,6 +52,7 @@ def test_cross_fusion_padding_invariance():
     )
 
 
+@pytest.mark.slow
 def test_cli_batch_summarize(tmp_path):
     from avsum_tpu.cli.main import main
     from avsum_tpu.io.synthetic import write_scene_video
@@ -74,6 +75,7 @@ def test_cli_batch_summarize(tmp_path):
     assert data["segments"] and data["n_frames"] > 0
 
 
+@pytest.mark.slow
 def test_cli_summarize_render(tmp_path):
     from avsum_tpu.cli.main import main
     from avsum_tpu.io.synthetic import write_scene_video

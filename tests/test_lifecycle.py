@@ -6,11 +6,13 @@ what a production rollout actually does with a trained model.
 
 import jax
 import numpy as np
+import pytest
 
 from avsum_tpu.serve.export import export_scorer, load_scorer
 from avsum_tpu.train.config import load_config
 
 
+@pytest.mark.slow
 def test_train_checkpoint_export_serve_chain(tmp_path):
     from avsum_tpu.cli.main import _load_scorer
     from avsum_tpu.models import make_model

@@ -21,6 +21,7 @@ def _init_and_apply(cfg, b=2, s=10, seed=0):
     return model, params, visual, audio, mask
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("encoder", ["attention", "bilstm", "tcn"])
 def test_forward_shapes_and_range(encoder):
     cfg = ModelConfig(
@@ -61,6 +62,7 @@ def test_padding_invariance(encoder):
     assert bool(jnp.all(out_pad[:, 6:] == 0.0))
 
 
+@pytest.mark.slow
 def test_gradients_finite_and_nonzero():
     cfg = SMALL
     model, params, visual, audio, mask = _init_and_apply(cfg)
@@ -94,6 +96,7 @@ def test_dropout_changes_training_outputs_only():
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
 
 
+@pytest.mark.slow
 def test_default_config_parameter_shapes():
     """Flagship dims match the reference contract (av_model.py:7):
     visual 4096, audio 296, hidden 512, fused 1024."""
@@ -112,6 +115,7 @@ def test_default_config_parameter_shapes():
     assert params["scorer_out"]["kernel"].shape == (64, 1)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """model.remat=true (jax.checkpoint around attention blocks) must be a
     pure memory/compute trade: identical outputs AND gradients."""

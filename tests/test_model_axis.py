@@ -49,6 +49,7 @@ def test_param_partition_spec(mesh_tp):
     assert param_partition_spec(np.zeros((32,), np.float32), mesh_tp) == P()
 
 
+@pytest.mark.slow
 def test_model_axis_training_matches_replicated(mesh_tp):
     model = make_model(CFG)
     batch = _batch()

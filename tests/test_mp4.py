@@ -191,6 +191,7 @@ def test_unsupported_video_codec_advice(tmp_path):
         open_video(bad)
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_on_mp4_container(tmp_path):
     """The reference's whole flow on an actual .mp4 — video AND audio from
     the container, no sidecar (extractors.py:298-362 parity)."""

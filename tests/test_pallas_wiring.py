@@ -32,6 +32,7 @@ def test_default_audio_config_satisfies_kernel_constraint():
     assert cfg.hop_length == 200
 
 
+@pytest.mark.slow
 def test_audio_frontend_pallas_matches_xla():
     from avsum_tpu.audio.frontend import AudioFrontend
 
@@ -48,6 +49,7 @@ def test_audio_frontend_pallas_matches_xla():
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_audio_frontend_warns_on_unsatisfiable_explicit_flag():
     from avsum_tpu.audio.frontend import AudioFrontend
 
@@ -95,6 +97,7 @@ def test_scorer_pallas_inference_matches_xla(tiny_inputs):
     assert np.all(s_on[0, 500:] == 0.0)
 
 
+@pytest.mark.slow
 def test_scorer_pallas_flag_does_not_break_training_grad(tiny_inputs):
     """use_pallas=True must not leak into the autodiff path: training runs
     with deterministic=False, where the XLA attention is always used."""

@@ -84,6 +84,7 @@ class TestPipelineParallel:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    @pytest.mark.slow
     def test_differentiable_under_jit(self, block_setup):
         block, x, mask, per_stage, _ = block_setup
         mesh = build_mesh(MeshConfig(data=2, seq=1, model=4, auto_data=False))
@@ -123,6 +124,7 @@ class TestPipelineParallel:
 
 
 class TestExpertParallel:
+    @pytest.mark.slow
     def test_moe_encoder_ep_matches_dense(self):
         rng = jax.random.PRNGKey(1)
         x = jax.random.normal(rng, (8, 12, 32))
@@ -149,6 +151,7 @@ class TestExpertParallel:
         y = ffn.apply({"params": params}, x)
         assert np.isfinite(np.asarray(y)).all()
 
+    @pytest.mark.slow
     def test_moe_scorer_trains_with_ep(self):
         from avsum_tpu.data.batching import pad_batch
         from avsum_tpu.data.synthetic import make_synthetic_videos

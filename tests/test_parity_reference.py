@@ -88,7 +88,8 @@ def test_reference_training_reduces_loss():
 @pytest.mark.slow
 def test_parity_run_end_to_end(tmp_path):
     st = ParitySettings(
-        n_videos=6, n_scenes=6, epochs=6, hidden_dim=32, n_folds=2
+        n_videos=6, n_scenes=6, epochs=6, hidden_dim=32, n_folds=2,
+        n_seeds=2,
     )
     result = run_parity(str(tmp_path / "work"), st)
     models = result["models"]
@@ -97,8 +98,12 @@ def test_parity_run_end_to_end(tmp_path):
     }
     for r in models.values():
         assert 0.0 <= r["canonical_f1"] <= 1.0
-        assert len(r["per_fold_canonical_f1"]) == 2
-    assert "delta_canonical_f1_pts" in models["avsum_attention"]
+        assert len(r["per_seed_canonical_f1"]) == 2
+    att = models["avsum_attention"]
+    assert "delta_canonical_f1_pts" in att
+    # paired stats: CI brackets the mean delta
+    lo, hi = att["paired_ci95_pts"]
+    assert lo <= att["paired_delta_pts"] <= hi
     write_reports(result, str(tmp_path))
     assert os.path.exists(tmp_path / "PARITY_F1.md")
     loaded = json.load(open(tmp_path / "PARITY_F1.json"))

@@ -13,6 +13,8 @@ from avsum_tpu.io.synthetic import write_scene_video
 from avsum_tpu.pipeline import AVPipeline
 from avsum_tpu.train.config import load_config
 
+pytestmark = pytest.mark.slow  # integration module: fixtures alone cost 15-50s
+
 
 @pytest.fixture(scope="module")
 def pipeline_cfg():
@@ -89,6 +91,7 @@ def test_preprocess_isolates_failures(pipeline_cfg, tmp_path):
     assert not cache.has("broken")
 
 
+@pytest.mark.slow
 def test_train_eval_on_extracted_features(processed, pipeline_cfg):
     from avsum_tpu.data.batching import batch_iterator
     from avsum_tpu.models import make_model

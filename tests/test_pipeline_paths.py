@@ -11,6 +11,8 @@ from avsum_tpu.io.y4m import Y4MReader
 from avsum_tpu.pipeline import AVPipeline
 from avsum_tpu.train.config import load_config
 
+pytestmark = pytest.mark.slow  # integration module: fixtures alone cost 15-50s
+
 
 @pytest.fixture(scope="module")
 def shared_pipeline(cfg):

@@ -18,11 +18,14 @@ from avsum_tpu.models import make_model
 from avsum_tpu.parallel import MeshConfig, build_mesh
 from avsum_tpu.train.config import ModelConfig, TrainConfig, load_config
 from avsum_tpu.train.steps import (
+
     create_train_state,
     make_train_step,
     shard_batch_dict,
     state_shardings,
 )
+
+pytestmark = pytest.mark.slow  # integration module: fixtures alone cost 15-50s
 
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
@@ -177,6 +180,7 @@ SMALL = [
 ]
 
 
+@pytest.mark.slow
 def test_deep_pp_config_end_to_end():
     losses = _train_config_through_trainer(
         os.path.join(CONFIG_DIR, "deep_pp.yaml"),
@@ -186,6 +190,7 @@ def test_deep_pp_config_end_to_end():
     assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
 
 
+@pytest.mark.slow
 def test_moe_ep_config_end_to_end():
     losses = _train_config_through_trainer(
         os.path.join(CONFIG_DIR, "moe_ep.yaml"), SMALL

@@ -3,6 +3,7 @@ and continues identically-shaped training (SURVEY.md §5.3/5.4 — the
 reference had no persistence at all)."""
 
 import numpy as np
+import pytest
 
 from avsum_tpu.data.batching import batch_iterator
 from avsum_tpu.data.synthetic import make_synthetic_videos
@@ -29,6 +30,7 @@ def _world(tmp_path, epochs):
     return cfg, batches
 
 
+@pytest.mark.slow
 def test_crash_and_resume_continues_training(tmp_path):
     cfg, batches = _world(tmp_path, epochs=2)
     t1 = Trainer(make_model(cfg.model), cfg, total_steps=100)

@@ -337,6 +337,7 @@ def test_standalone_warmup_without_start():
     assert srv._warmup_error is None
 
 
+@pytest.mark.slow
 def test_mp4_demuxer_fuzz_clean_errors(tmp_path):
     """Truncated/corrupt containers must raise the Mp4Error family only —
     never raw struct/Value/Index errors (per-item sweep isolation and the

@@ -15,10 +15,13 @@ from avsum_tpu.data.synthetic import make_synthetic_videos
 from avsum_tpu.models import make_model
 from avsum_tpu.train.config import ModelConfig, TrainConfig
 from avsum_tpu.train.steps import (
+
     create_train_state,
     make_train_step,
     shard_batch_dict,
 )
+
+pytestmark = pytest.mark.slow  # integration module: fixtures alone cost 15-50s
 
 CFG = ModelConfig(
     visual_dim=48, audio_dim=24, hidden_dim=32, scorer_hidden=16,
@@ -57,6 +60,7 @@ def test_mesh_model_dispatches_ring(mesh8):
     )
 
 
+@pytest.mark.slow
 def test_ring_training_matches_full_attention(mesh8):
     """3 steps of ring-mode sharded training == 3 steps of unsharded
     full-attention training (same params out)."""

@@ -10,6 +10,8 @@ import pytest
 from avsum_tpu.serve import ServeConfig, SummarizeServer
 from avsum_tpu.train.config import load_config
 
+pytestmark = pytest.mark.slow  # integration module: fixtures alone cost 15-50s
+
 
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):

@@ -16,6 +16,8 @@ import pytest
 from avsum_tpu.serve import ServeConfig, SummarizeServer
 from avsum_tpu.train.config import load_config
 
+pytestmark = pytest.mark.slow  # integration module: fixtures alone cost 15-50s
+
 
 class _StubPipeline:
     """Pipeline double: begin() optionally blocks, finisher returns a

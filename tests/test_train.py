@@ -35,6 +35,7 @@ def _videos_and_batches(n=8, batch=4, max_shots=24, seed=0):
     return vids, lambda: batch_iterator(vids, batch, max_shots, seed=seed)
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_synthetic_data():
     model = make_model(SMALL_MODEL)
     _, batches = _videos_and_batches()
@@ -51,6 +52,7 @@ def test_loss_decreases_on_synthetic_data():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(mesh8):
     """Distributed-without-a-cluster (SURVEY.md §4 item 5): same batch, same
     params — the 8-device pjit step must produce the same loss and params
@@ -95,6 +97,7 @@ def test_masked_mse_ignores_padding():
     assert float(masked_mse(pred, tgt, mask)) == pytest.approx(0.5)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from avsum_tpu.train.checkpoint import CheckpointManager
 
@@ -118,6 +121,7 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_score_video_covers_all_shots_past_bucket():
     """Long videos climb the bucket ladder: every shot is scored, none are
     truncated at data.max_shots (VERDICT round-1 item 7)."""
@@ -159,6 +163,7 @@ def test_score_video_covers_all_shots_past_bucket():
     )
 
 
+@pytest.mark.slow
 def test_hour_scale_training_config_steps():
     """BASELINE config 5 viability: a long-sequence (hour-scale shaped)
     train step with chunked attention + remat runs and learns. (Full

@@ -187,6 +187,7 @@ def test_sample_shot_frames_stride_and_cap():
     assert idx.max() < 331
 
 
+@pytest.mark.slow
 def test_dual_backbone_contract_dim():
     from avsum_tpu.vision.backbone import fast_init
 
@@ -277,6 +278,7 @@ def test_vit_port_matches_torch_mini():
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vit_backbone_variables_wiring():
     """Ported ViT weights compose into a ViTBackbone variable tree the
     visual frontend can consume (pretrained transformer + seeded random

@@ -56,6 +56,7 @@ def test_visual_frontend_loads_config_weights(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_audio_frontend_loads_config_weights(tmp_path):
     import jax.numpy as jnp
 
