@@ -177,6 +177,11 @@ class ParitySettings:
     # delta must be read against (4 test videos/fold makes single-seed
     # fold F1 swing by tens of points)
     n_seeds: int = 3
+    # "tvsum" (20 noisy frame-score annotators, mean-user knapsack F1) or
+    # "summe" (per-user binary ~15%-budget selections, max-over-users F1
+    # — the reference's SumMe side, dataset.py:65-68 + gt_score targets)
+    dataset: str = "tvsum"
+    n_users_summe: int = 15
 
 
 def build_world(root: str, st: ParitySettings):
@@ -202,7 +207,7 @@ def build_world(root: str, st: ParitySettings):
 
     video_dir = os.path.join(root, "videos")
     os.makedirs(video_dir, exist_ok=True)
-    ids, frame_scores = [], []
+    ids, frame_scores, scene_lists = [], [], []
     for i in range(st.n_videos):
         vid = f"pv{i:02d}"
         video, audio, scenes = make_scene_video(
@@ -226,16 +231,24 @@ def build_world(root: str, st: ParitySettings):
             scores[start:end] = w
         ids.append(vid)
         frame_scores.append(scores)
-    mat_path = os.path.join(root, "ydata.mat")
-    write_fake_tvsum_mat(mat_path, ids, frame_scores, seed=st.seed)
+        scene_lists.append(scenes)
+
+    if st.dataset == "tvsum":
+        anno_path = os.path.join(root, "ydata.mat")
+        write_fake_tvsum_mat(anno_path, ids, frame_scores, seed=st.seed)
+    elif st.dataset == "summe":
+        anno_path = os.path.join(root, "GT")
+        _write_summe_gt(anno_path, ids, frame_scores, scene_lists, st)
+    else:
+        raise ValueError(f"unknown dataset {st.dataset!r}")
 
     cfg = load_config(
         overrides=[
             "visual.backbone=tiny",  # random weights on BOTH sides anyway
             "visual.dtype=float32",
             "audio.silence_fallback=true",
-            "data.dataset=tvsum",
-            f"data.annotation_path={mat_path}",
+            f"data.dataset={st.dataset}",
+            f"data.annotation_path={anno_path}",
             f"data.cache_dir={root}/cache",
             f"model.hidden_dim={st.hidden_dim}",
             f"train.epochs={st.epochs}",
@@ -243,31 +256,57 @@ def build_world(root: str, st: ParitySettings):
     )
     cache = FeatureCache(cfg.data.cache_dir)
     AVPipeline(cfg).preprocess_dataset(video_dir, cache)
-    return cfg, cache, mat_path
+    return cfg, cache, anno_path
 
 
-def evaluate_model(score_fn, test_examples, anno_index, budget=0.15):
-    """Same protocol for every contender: canonical knapsack F1 over the
-    20 annotators + the reference's keyframe metrics on shot targets.
+def _write_summe_gt(gt_dir, ids, frame_scores, scene_lists, st):
+    """Per-video SumMe-format .mat files (dataset.py:66-68 reads
+    gt_score; the canonical protocol reads user_score): gt is the true
+    frame importance; each of n_users_summe "users" selects scenes in
+    descending noisy-importance order until ~15% of frames are covered —
+    mirroring SumMe's recorded binary user summaries."""
+    from scipy.io import savemat
+
+    os.makedirs(gt_dir, exist_ok=True)
+    rng = np.random.default_rng(st.seed + 77)
+    for vid, gt, scenes in zip(ids, frame_scores, scene_lists):
+        total = len(gt)
+        users = np.zeros((total, st.n_users_summe), np.float32)
+        scene_imp = np.asarray([gt[s] for (s, _) in scenes], np.float64)
+        budget = 0.15 * total
+        for u in range(st.n_users_summe):
+            noisy = scene_imp + rng.normal(0.0, 0.15, size=len(scenes))
+            taken = 0.0
+            for j in np.argsort(-noisy):
+                start, end = scenes[j]
+                if taken + (end - start) > budget and taken > 0:
+                    continue
+                users[start:end, u] = 1.0
+                taken += end - start
+        savemat(
+            os.path.join(gt_dir, f"{vid}.mat"),
+            {
+                "gt_score": np.asarray(gt, np.float32).reshape(-1, 1),
+                "user_score": users,
+                "nFrames": total,
+                "FPS": 30.0,
+            },
+        )
+
+
+def evaluate_model(score_fn, test_examples, canon_fn):
+    """Same protocol for every contender: the dataset's canonical knapsack
+    F1 (``canon_fn``) + the reference's keyframe metrics on shot targets.
 
     Returns (fold-mean dict, per-video canonical F1 dict) — the per-video
     scores feed the PAIRED delta analysis in run_parity.
     """
     from avsum_tpu.summary.metrics import evaluate_scores
-    from avsum_tpu.summary.protocol import canonical_f1_tvsum
 
     canon, keyframe = {}, []
     for ex in test_examples:
         preds = np.asarray(score_fn(ex), np.float32)[: ex.n_shots]
-        canon[ex.video_id] = float(
-            canonical_f1_tvsum(
-                preds,
-                ex.shot_boundaries,
-                ex.n_frames,
-                anno_index[ex.video_id].user_scores,
-                budget,
-            )
-        )
+        canon[ex.video_id] = float(canon_fn(ex, preds))
         keyframe.append(evaluate_scores(preds, ex.targets))
     vals = list(canon.values())
     out = {
@@ -322,16 +361,51 @@ def train_avsum(
 
 
 def run_parity(root: str, st: ParitySettings) -> dict:
-    from avsum_tpu.data.datasets import load_tvsum_examples
+    from avsum_tpu.data.datasets import (
+        load_summe_examples,
+        load_tvsum_examples,
+    )
     from avsum_tpu.data.splits import create_kfold_splits
+    from avsum_tpu.data.summe import load_summe_dir
     from avsum_tpu.data.tvsum import load_tvsum, tvsum_index
+    from avsum_tpu.summary.protocol import (
+        canonical_f1_summe,
+        canonical_f1_tvsum,
+    )
 
     t0 = time.time()
-    cfg, cache, mat_path = build_world(root, st)
-    examples = {
-        ex.video_id: ex for ex in load_tvsum_examples(cache, mat_path)
-    }
-    anno = tvsum_index(load_tvsum(mat_path))
+    cfg, cache, anno_path = build_world(root, st)
+    if st.dataset == "tvsum":
+        examples = {
+            ex.video_id: ex for ex in load_tvsum_examples(cache, anno_path)
+        }
+        anno = tvsum_index(load_tvsum(anno_path))
+
+        def canon_fn(ex, preds):
+            return canonical_f1_tvsum(
+                preds,
+                ex.shot_boundaries,
+                ex.n_frames,
+                anno[ex.video_id].user_scores,
+                0.15,
+            )
+
+    else:
+        examples = {
+            ex.video_id: ex
+            for ex in load_summe_examples(cache, anno_path)
+        }
+        gt = {v.video_id: v for v in load_summe_dir(anno_path)}
+
+        def canon_fn(ex, preds):
+            return canonical_f1_summe(
+                preds,
+                ex.shot_boundaries,
+                ex.n_frames,
+                gt[ex.video_id].user_score,
+                0.15,
+            )
+
     max_shots = 1
     while max_shots < max(ex.n_shots for ex in examples.values()):
         max_shots *= 2
@@ -357,7 +431,7 @@ def run_parity(root: str, st: ParitySettings) -> dict:
                 ref, train_ex, epochs=st.epochs, seed=run_seed
             )
             mean, per_vid = evaluate_model(
-                lambda ex: score_with_reference(ref, ex), test_ex, anno
+                lambda ex: score_with_reference(ref, ex), test_ex, canon_fn
             )
             fold_means["reference_torch_bilstm"][s].append(mean)
             video_f1["reference_torch_bilstm"][s].update(per_vid)
@@ -374,7 +448,7 @@ def run_parity(root: str, st: ParitySettings) -> dict:
                 mean, per_vid = evaluate_model(
                     lambda ex: trainer.score_video(ex, max_shots),
                     test_ex,
-                    anno,
+                    canon_fn,
                 )
                 fold_means[key][s].append(mean)
                 video_f1[key][s].update(per_vid)
@@ -390,8 +464,16 @@ def run_parity(root: str, st: ParitySettings) -> dict:
     vids = sorted(examples)
     result = {
         "settings": dataclasses.asdict(st),
-        "protocol": "synthetic TVSum, canonical per-annotator knapsack F1, "
-        f"{st.n_folds}-fold CV x {st.n_seeds} seeds, paired per-video deltas",
+        "dataset": st.dataset,
+        "protocol": (
+            "synthetic TVSum, canonical per-annotator knapsack F1 "
+            "(mean over 20 users)"
+            if st.dataset == "tvsum"
+            else "synthetic SumMe, canonical knapsack F1 "
+            f"(max over {st.n_users_summe} user summaries)"
+        )
+        + f", {st.n_folds}-fold CV x {st.n_seeds} seeds, "
+        "paired per-video deltas",
         "wall_s": round(time.time() - t0, 1),
         "models": {},
     }
@@ -442,12 +524,30 @@ def run_parity(root: str, st: ParitySettings) -> dict:
     return result
 
 
-def write_reports(result: dict, out_dir: str) -> None:
+def _dataset_ok(models: dict) -> bool:
+    def ok(k):
+        r = models[k]
+        # parity holds if the paired mean delta is within tolerance /
+        # better, or the 95% CI on the paired delta includes 0 (the
+        # contenders are statistically indistinguishable on this protocol)
+        return (
+            r["paired_delta_pts"] >= -0.5 or r["paired_ci95_pts"][1] >= 0.0
+        )
+
+    return all(ok(k) for k in ("avsum_bilstm", "avsum_attention"))
+
+
+def write_reports(results, out_dir: str) -> None:
+    """results: one run_parity() dict, or a list of them (one/dataset)."""
+    if isinstance(results, dict):
+        results = [results]
     os.makedirs(out_dir, exist_ok=True)
+    payload = results[0] if len(results) == 1 else {
+        "datasets": {r["dataset"]: r for r in results}
+    }
     with open(os.path.join(out_dir, "PARITY_F1.json"), "w") as fh:
-        json.dump(result, fh, indent=1)
-    m = result["models"]
-    ref = m["reference_torch_bilstm"]
+        json.dump(payload, fh, indent=1)
+
     lines = [
         "# PARITY_F1 — measured F1 parity vs the reference as re-run",
         "",
@@ -456,33 +556,31 @@ def write_reports(result: dict, out_dir: str) -> None:
         "recipe executed in torch on CPU (av_model.py:6-46, "
         "train_av_model.py:64-96) on the SAME cached features, targets, "
         "splits, and evaluation code as the rebuild.",
-        "",
-        f"Protocol: {result['protocol']}; settings: {result['settings']}",
-        "",
-        "| model | canonical F1 | paired Δ (pts) | 95% CI | seed σ (pts) "
-        "| keyframe F1 | ρ | τ |",
-        "|---|---|---|---|---|---|---|---|",
     ]
-    for key, r in m.items():
-        delta = r.get("paired_delta_pts", "—")
-        ci = r.get("paired_ci95_pts")
-        ci_s = f"[{ci[0]}, {ci[1]}]" if ci else "—"
-        lines.append(
-            f"| {key} | {r['canonical_f1']:.4f} | {delta} | {ci_s} | "
-            f"{r.get('seed_std_pts', '—')} | "
-            f"{r['f1']:.4f} | {r['spearman']:.4f} | {r['kendall']:.4f} |"
-        )
-
-    def ok(k):
-        r = m[k]
-        # parity holds if the paired mean delta is within tolerance /
-        # better, or the 95% CI on the paired delta includes 0 (the
-        # contenders are statistically indistinguishable on this protocol)
-        return (
-            r["paired_delta_pts"] >= -0.5 or r["paired_ci95_pts"][1] >= 0.0
-        )
-
-    verdict_ok = all(ok(k) for k in ("avsum_bilstm", "avsum_attention"))
+    verdicts = []
+    for result in results:
+        m = result["models"]
+        lines += [
+            "",
+            f"## {result.get('dataset', 'tvsum')}",
+            "",
+            f"Protocol: {result['protocol']}; "
+            f"settings: {result['settings']}",
+            "",
+            "| model | canonical F1 | paired Δ (pts) | 95% CI "
+            "| seed σ (pts) | keyframe F1 | ρ | τ |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for key, r in m.items():
+            delta = r.get("paired_delta_pts", "—")
+            ci = r.get("paired_ci95_pts")
+            ci_s = f"[{ci[0]}, {ci[1]}]" if ci else "—"
+            lines.append(
+                f"| {key} | {r['canonical_f1']:.4f} | {delta} | {ci_s} | "
+                f"{r.get('seed_std_pts', '—')} | "
+                f"{r['f1']:.4f} | {r['spearman']:.4f} | {r['kendall']:.4f} |"
+            )
+        verdicts.append(_dataset_ok(m))
     lines += [
         "",
         "Paired Δ = mean over held-out videos of (avsum − reference) "
@@ -492,7 +590,18 @@ def write_reports(result: dict, out_dir: str) -> None:
         "(the noise floor).",
         "",
         f"Acceptance (paired Δ ≥ −0.5 pts, or 95% CI includes 0): "
-        f"{'PASS' if verdict_ok else 'FAIL'}",
+        f"{'PASS' if all(verdicts) else 'FAIL'}"
+        + (
+            " ("
+            + ", ".join(
+                f"{r.get('dataset', 'tvsum')}: "
+                f"{'PASS' if v else 'FAIL'}"
+                for r, v in zip(results, verdicts)
+            )
+            + ")"
+            if len(results) > 1
+            else ""
+        ),
         "",
         "Caveats: synthetic media and random-weight encoders on BOTH sides "
         "(pretrained ports remain the offline step, docs/PARITY_RUNBOOK.md); "
@@ -511,6 +620,10 @@ def main(argv=None) -> int:
         help="small world (CI-scale smoke, not the reportable run)",
     )
     ap.add_argument("--n-seeds", type=int, default=None)
+    ap.add_argument(
+        "--dataset", choices=("tvsum", "summe", "both"), default="tvsum",
+        help="protocol(s) to run; 'both' writes one combined report",
+    )
     args = ap.parse_args(argv)
     st = ParitySettings()
     if args.quick:
@@ -523,9 +636,19 @@ def main(argv=None) -> int:
     import tempfile
 
     work = args.work_dir or tempfile.mkdtemp(prefix="parity_")
-    result = run_parity(work, st)
-    write_reports(result, args.out_dir)
-    print(json.dumps(result["models"], indent=1))
+    names = (
+        ("tvsum", "summe") if args.dataset == "both" else (args.dataset,)
+    )
+    results = []
+    for name in names:
+        ds_st = dataclasses.replace(st, dataset=name)
+        results.append(run_parity(os.path.join(work, name), ds_st))
+        write_reports(results, args.out_dir)  # checkpoint after each
+    print(
+        json.dumps(
+            {r["dataset"]: r["models"] for r in results}, indent=1
+        )
+    )
     return 0
 
 

@@ -86,6 +86,28 @@ def test_reference_training_reduces_loss():
 
 
 @pytest.mark.slow
+def test_parity_run_summe(tmp_path):
+    """The SumMe side: per-user binary ~15%-budget selections, canonical
+    max-over-users F1 (reference: dataset.py:65-68 gt_score targets)."""
+    st = ParitySettings(
+        n_videos=4, n_scenes=5, epochs=4, hidden_dim=32, n_folds=2,
+        n_seeds=1, dataset="summe", n_users_summe=4,
+    )
+    result = run_parity(str(tmp_path / "work"), st)
+    assert result["dataset"] == "summe"
+    assert "max over 4 user summaries" in result["protocol"]
+    for r in result["models"].values():
+        assert 0.0 <= r["canonical_f1"] <= 1.0
+    # combined report: one md with both dataset sections
+    tvsum_like = dict(result, dataset="tvsum")
+    write_reports([tvsum_like, result], str(tmp_path))
+    md = open(tmp_path / "PARITY_F1.md").read()
+    assert "## tvsum" in md and "## summe" in md
+    loaded = json.load(open(tmp_path / "PARITY_F1.json"))
+    assert set(loaded["datasets"]) == {"tvsum", "summe"}
+
+
+@pytest.mark.slow
 def test_parity_run_end_to_end(tmp_path):
     st = ParitySettings(
         n_videos=6, n_scenes=6, epochs=6, hidden_dim=32, n_folds=2,
