@@ -5,8 +5,10 @@ Reference usage to replace (/root/reference/features/extractors.py:307-309,
 frames. ``open_video`` dispatches on extension:
 
 - ``.y4m``  -> pure-NumPy reader (native C++ fast path if built)
-- ``.mp4`` etc. -> imageio if a decoding plugin exists in the image,
-  else a clear error (no ffmpeg/cv2 on this machine)
+- ``.mp4`` etc. -> native ISO-BMFF demuxer (MJPEG/PCM tracks), then
+  OpenCV/libavcodec for compressed codecs (H.264/mp4v/...) when the
+  ``opencv-python`` wheel is importable, then imageio; a clear error
+  with transcode advice only when no backend can decode the codec
 
 Paired audio convention: ``<stem>.wav`` next to the video file carries the
 soundtrack (replaces the reference's in-container audio + pydub extract).
@@ -102,17 +104,37 @@ def open_video(path: str, prefer_native: bool = True) -> VideoReader:
         try:
             return Mp4VideoReader(path)
         except Mp4UnsupportedCodec:
-            raise  # clear transcode advice; don't mask with the fallback
+            # compressed codec (H.264/HEVC/mp4v/...): OpenCV's libavcodec
+            # decodes these when the wheel is present; only raise the
+            # transcode advice when it is not
+            reader = _try_cv2(path)
+            if reader is not None:
+                return reader
+            raise
         except Mp4Error:
-            pass  # no/odd video track: give imageio a chance below
+            pass  # no/odd video track: give cv2/imageio a chance below
+    reader = _try_cv2(path)
+    if reader is not None:
+        return reader
     try:
         return _ImageioReader(path)
     except Exception as e:
         raise RuntimeError(
             f"cannot decode {path!r}: no decoder for {ext} in this environment "
             "(y4m and MJPEG mp4/mov are always supported; other codecs need "
-            "an imageio/ffmpeg plugin or a one-time transcode)"
+            "OpenCV, an imageio/ffmpeg plugin, or a one-time transcode)"
         ) from e
+
+
+def _try_cv2(path: str):
+    from avsum_tpu.io.cv2video import Cv2Reader, cv2_available
+
+    if not cv2_available():
+        return None
+    try:
+        return Cv2Reader(path)
+    except Exception:
+        return None
 
 
 def audio_path_for(video_path: str) -> Optional[str]:
