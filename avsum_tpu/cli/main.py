@@ -285,7 +285,12 @@ def cmd_summarize(args) -> int:
     if args.render:
         from avsum_tpu.summary.render import render_summary
 
-        render_summary(args.video, out["segments"], args.render)
+        stem, ext = os.path.splitext(args.render)
+        if ext.lower() == ".mp4":
+            render_summary(
+                args.video, out["segments"], stem, container="mp4")
+        else:
+            render_summary(args.video, out["segments"], args.render)
     if args.output:
         with open(args.output, "w") as fh:
             json.dump(out, fh, indent=1)
@@ -413,7 +418,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         "--render",
         default=None,
         metavar="OUT_STEM",
-        help="also write the summary media to OUT_STEM.y4m/.wav",
+        help="also write the summary media to OUT_STEM.y4m/.wav, or to a "
+        "single shareable mp4 (MJPEG + AAC) when OUT_STEM ends in .mp4",
     )
     p.set_defaults(fn=cmd_summarize)
 

@@ -15,7 +15,8 @@ from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["write_mjpeg_mp4", "write_pcm_mp4"]
+__all__ = ["write_mjpeg_mp4", "write_pcm_mp4", "write_mp3_mp4",
+           "write_aac_mp4"]
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
@@ -120,6 +121,199 @@ def _audio_trak(
         _tkhd(track_id, int(round(n_audio / rate * 1000)), volume=0x0100)
         + _mdia(rate, n_audio, b"soun", b"SoundHandler", smhd, stbl_a),
     )
+
+
+def _mp4_descriptor(tag: int, payload: bytes) -> bytes:
+    """MPEG-4 BaseDescriptor with expandable length (14496-1 §8.3.3)."""
+    size = len(payload)
+    enc = bytes([size & 0x7F])
+    size >>= 7
+    while size:
+        enc = bytes([0x80 | (size & 0x7F)]) + enc
+        size >>= 7
+    return bytes([tag]) + enc + payload
+
+
+def _esds(object_type: int, avg_bitrate: int,
+          decoder_specific: bytes = b"") -> bytes:
+    """esds box for an MPEG-4 audio sample entry. ``object_type`` is the
+    objectTypeIndication (0x6B = MPEG-1 audio/MP3, 0x40 = AAC)."""
+    dec_specific = (
+        _mp4_descriptor(0x05, decoder_specific) if decoder_specific else b""
+    )
+    dec_config = _mp4_descriptor(
+        0x04,
+        bytes([object_type, 0x15])          # streamType=audio, upStream=0
+        + b"\x00\x00\x00"                    # bufferSizeDB
+        + struct.pack(">II", avg_bitrate, avg_bitrate)
+        + dec_specific,
+    )
+    sl_config = _mp4_descriptor(0x06, b"\x02")
+    es = _mp4_descriptor(0x03, struct.pack(">HB", 1, 0) + dec_config + sl_config)
+    return _full(b"esds", 0, 0, es)
+
+
+def _mp4a_trak(
+    track_id: int,
+    sizes: List[int],
+    ch: int,
+    rate: int,
+    samples_per_frame: int,
+    base_offset: int,
+    object_type: int,
+    decoder_specific: bytes = b"",
+) -> bytes:
+    """Compressed-audio trak: 'mp4a' sample entry + esds, one codec frame
+    per sample (timescale = the stream's sample rate)."""
+    total_samples = len(sizes) * samples_per_frame
+    avg_bitrate = int(sum(sizes) * 8 * rate / max(total_samples, 1))
+    esds = _esds(object_type, avg_bitrate, decoder_specific)
+    stsd_a = (
+        struct.pack(">I", 36 + len(esds)) + b"mp4a"
+        + b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 4
+        + struct.pack(">HH", ch, 16)
+        + struct.pack(">HH", 0, 0)
+        + struct.pack(">I", rate << 16)
+        + esds
+    )
+    offsets = [base_offset + int(o) for o in
+               np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int64)]
+    stbl_a = _stbl(
+        stsd_a, len(sizes), samples_per_frame, [(1, 1, 1)], sizes, offsets
+    )
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    return _box(
+        b"trak",
+        _tkhd(track_id, int(round(total_samples / rate * 1000)),
+              volume=0x0100)
+        + _mdia(rate, total_samples, b"soun", b"SoundHandler", smhd, stbl_a),
+    )
+
+
+def write_mp3_mp4(
+    path: str,
+    mp3_bytes: bytes,
+    frames: Optional[np.ndarray] = None,
+    fps: float = 30.0,
+    quality: int = 92,
+) -> None:
+    """Mux an MP3 elementary stream (optionally plus MJPEG video
+    ``frames`` [T, H, W, 3] uint8) into an ISO-BMFF container as a real
+    compressed 'mp4a' track (esds objectTypeIndication 0x6B).
+
+    The native demuxer rejects this codec (``Mp4UnsupportedCodec``), so
+    such files exercise the bundled-ffmpeg fallback the way real-dataset
+    AAC mp4s do (reference extract path: extractors.py:364-386).
+    """
+    from avsum_tpu.io.mp3 import parse_mp3
+
+    stream = parse_mp3(mp3_bytes)
+    _write_compressed_audio_mp4(
+        path, stream.frames, stream.channels, stream.sample_rate,
+        stream.samples_per_frame, 0x6B, b"", frames, fps, quality)
+
+
+def write_aac_mp4(
+    path: str,
+    samples: np.ndarray,
+    rate: int = 16000,
+    frames: Optional[np.ndarray] = None,
+    fps: float = 30.0,
+    quality: int = 92,
+    bit_rate: int = 96000,
+) -> None:
+    """Encode mono float32 ``samples`` with the bundled AAC encoder and
+    mux them (optionally plus MJPEG video) as a real 'mp4a'/AAC-LC track
+    (esds objectTypeIndication 0x40 + AudioSpecificConfig) — the exact
+    shape of real TVSum/SumMe dataset files the reference consumed
+    (extractors.py:364-386). Requires ``ffaudio.aac_encode_available()``.
+    """
+    from avsum_tpu.io.ffaudio import AAC_SAMPLES_PER_FRAME, encode_aac
+
+    packets, asc = encode_aac(samples, rate, bit_rate=bit_rate)
+    _write_compressed_audio_mp4(
+        path, packets, 1, rate, AAC_SAMPLES_PER_FRAME, 0x40, asc,
+        frames, fps, quality)
+
+
+def _write_compressed_audio_mp4(
+    path: str,
+    audio_frames: List[bytes],
+    channels: int,
+    rate: int,
+    samples_per_frame: int,
+    object_type: int,
+    decoder_specific: bytes,
+    frames: Optional[np.ndarray],
+    fps: float,
+    quality: int,
+) -> None:
+    audio_bytes = b"".join(audio_frames)
+    n_samples = len(audio_frames) * samples_per_frame
+
+    jpegs: List[bytes] = []
+    if frames is not None:
+        import imageio.v3 as iio
+
+        frames = np.asarray(frames)
+        jpegs = [
+            iio.imwrite("<bytes>", frames[i], extension=".jpg",
+                        quality=quality)
+            for i in range(frames.shape[0])
+        ]
+    video_bytes = b"".join(jpegs)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", video_bytes + audio_bytes)
+    video_base = len(ftyp) + 8
+    audio_base = video_base + len(video_bytes)
+
+    traks = b""
+    movie_dur = int(round(n_samples / rate * 1000))
+    next_id = 1
+    if jpegs:
+        t, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        stsd_v = (
+            struct.pack(">I", 86) + b"jpeg"
+            + b"\x00" * 6 + struct.pack(">H", 1)
+            + b"\x00" * 16
+            + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x480000, 0x480000)
+            + struct.pack(">I", 0)
+            + struct.pack(">H", 1)
+            + b"\x00" * 32
+            + struct.pack(">Hh", 24, -1)
+        )
+        sizes = [len(j) for j in jpegs]
+        offs = [video_base + int(o) for o in
+                np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int64)]
+        stbl_v = _stbl(stsd_v, t, 1000, [(1, 1, 1)], sizes, offs)
+        vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        traks += _box(
+            b"trak",
+            _tkhd(1, int(round(t / fps * 1000)), width=w, height=h)
+            + _mdia(max(1, round(fps * 1000)), t * 1000, b"vide",
+                    b"VideoHandler", vmhd, stbl_v),
+        )
+        movie_dur = max(movie_dur, int(round(t / fps * 1000)))
+        next_id = 2
+
+    traks += _mp4a_trak(
+        next_id, [len(f) for f in audio_frames], channels, rate,
+        samples_per_frame, audio_base, object_type, decoder_specific
+    )
+
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, movie_dur)
+        + struct.pack(">IH", 0x10000, 0x0100) + b"\x00" * 10
+        + _UNITY_MATRIX
+        + b"\x00" * 24 + struct.pack(">I", next_id + 1),
+    )
+    moov = _box(b"moov", mvhd + traks)
+    with open(path, "wb") as fh:
+        fh.write(ftyp + mdat + moov)
 
 
 def _quantize_pcm(samples: np.ndarray) -> np.ndarray:

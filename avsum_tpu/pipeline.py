@@ -162,7 +162,8 @@ class AVPipeline:
     def _load_audio(self, video_path: str, duration_s: float) -> np.ndarray:
         """Soundtrack resolution order (extractors.py:364-386 parity):
         <stem>.wav sidecar, then the container's own audio track (PCM mp4
-        demuxes natively; compressed codecs raise with advice), then the
+        demuxes natively; compressed codecs — AAC/MP3/... — decode through
+        the ffmpeg libraries bundled with OpenCV when present), then the
         config-gated silence substitute."""
         wav_path = audio_path_for(video_path)
         if wav_path is not None:
@@ -185,11 +186,20 @@ class AVPipeline:
                 log.warning("%s has no audio track; using silence", video_path)
                 return silence
             except Mp4UnsupportedCodec as e:
+                got = self._container_audio(video_path)
+                if got is not None:
+                    return got
                 if self.config.audio.silence_fallback:
                     log.warning("%s; using silence (audio.silence_fallback)", e)
                     return silence
                 raise
-        # Y4M and friends cannot carry audio — the sidecar IS the channel
+        elif ext != ".y4m":
+            # other containers cv2 can open (avi/mkv/webm/...): the only
+            # audio channel is the container itself
+            got = self._container_audio(video_path, silence=silence)
+            if got is not None:
+                return got
+        # Y4M cannot carry audio — the sidecar IS the channel
         if self.config.audio.silence_fallback:
             log.warning("no paired audio for %s; using silence", video_path)
             return silence
@@ -197,6 +207,34 @@ class AVPipeline:
             f"no audio for {video_path!r}: add a <stem>.wav sidecar or set "
             "audio.silence_fallback=true to run video-only"
         )
+
+    @staticmethod
+    def _container_audio(
+        video_path: str, silence: Optional[np.ndarray] = None
+    ) -> Optional[np.ndarray]:
+        """Compressed in-container audio via the bundled-ffmpeg backend;
+        None when the backend is unavailable or cannot decode (callers
+        then apply their own fallback policy)."""
+        from avsum_tpu.io.ffaudio import (
+            FFAudioError,
+            FFNoAudioStream,
+            ffmpeg_audio_available,
+            load_audio_mono_16k_ff,
+        )
+
+        if not ffmpeg_audio_available():
+            return None
+        try:
+            return load_audio_mono_16k_ff(video_path)
+        except FFNoAudioStream:
+            if silence is not None:
+                log.warning(
+                    "%s has no audio track; using silence", video_path)
+                return silence
+            return None
+        except FFAudioError as e:
+            log.warning("bundled-ffmpeg audio decode failed: %s", e)
+            return None
 
     # ------------------------------------------------------------------
     # feature extraction (the preprocess hot path)

@@ -100,3 +100,38 @@ def test_cli_summarize_render(tmp_path):
     assert rate == 16000
     # audio length matches the rendered frames' duration (within a frame)
     assert abs(len(samples) / rate - n / 30.0) < 0.2
+
+
+@pytest.mark.slow
+def test_cli_summarize_render_mp4(tmp_path):
+    """--render out.mp4 writes one shareable container: MJPEG video plus
+    an AAC track (bundled encoder) or a PCM track (fallback)."""
+    from avsum_tpu.cli.main import main
+    from avsum_tpu.io.ffaudio import aac_encode_available
+    from avsum_tpu.io.mp4 import extract_audio
+    from avsum_tpu.io.synthetic import write_scene_video
+    from avsum_tpu.io.video import open_video
+
+    stem = str(tmp_path / "r")
+    write_scene_video(stem, n_scenes=3, seed=91, height=32, width=32)
+    out = str(tmp_path / "summary.mp4")
+    rc = main([
+        "summarize", stem + ".y4m", "--render", out,
+        "--set", "visual.backbone=tiny",
+    ])
+    assert rc == 0 and os.path.exists(out)
+    reader = open_video(out)
+    try:
+        n = reader.n_frames
+        assert n > 0
+        assert reader.read_frame(0).shape == (32, 32, 3)
+        fps = reader.fps
+    finally:
+        reader.close()
+    if aac_encode_available():
+        from avsum_tpu.io.ffaudio import decode_audio
+
+        samples, rate = decode_audio(out)
+    else:
+        samples, rate = extract_audio(out)
+    assert abs(len(samples) / rate - n / fps) < 0.3
