@@ -175,17 +175,30 @@ class AudioFrontend:
         wave = np.pad(wave, (0, t_bucket - len(wave)))
         return self._full(self.vggish_params, wave)
 
-    def pool(self, full, boundaries_samples, mask=None) -> jnp.ndarray:
-        """Segment-pool previously dispatched full features -> [S, 296]."""
+    def pool(self, full, boundaries_samples, mask=None, s_bucket=None,
+             return_device: bool = False) -> jnp.ndarray:
+        """Segment-pool previously dispatched full features -> [S, 296].
+
+        ``s_bucket`` overrides the padded shot-axis bucket (the
+        device-resident scoring fast path passes the visual pool's bucket
+        so both modalities share one padded S); ``return_device=True``
+        keeps the full [s_bucket, 296] result on device (rows >= S are
+        padding) instead of reading it back.
+        """
         mf, lm, vg = full
         bounds = np.asarray(boundaries_samples, np.float32).reshape(-1, 2)
         s = len(bounds)
-        s_bucket = max(16, -(-s // 16) * 16)
+        if s_bucket is None:
+            s_bucket = max(16, -(-s // 16) * 16)
+        assert s_bucket >= s
         bounds_p = np.zeros((s_bucket, 2), np.float32)
         bounds_p[:s] = bounds
         mask_p = np.zeros(s_bucket, np.float32)
         mask_p[:s] = 1.0 if mask is None else np.asarray(mask, np.float32).reshape(-1)
-        return self._pool(mf, lm, vg, bounds_p, mask_p)[:s]
+        out = self._pool(mf, lm, vg, bounds_p, mask_p)
+        if return_device:
+            return out
+        return out[:s]
 
     def shot_features(
         self,

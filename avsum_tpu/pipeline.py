@@ -105,6 +105,8 @@ class AVPipeline:
         self.detector = detector or ContentDetectorConfig()
         self._scorer_jit = None
         self._scorer_model = None  # identity key for the cached jit
+        self._scorer_fast_jit = None  # device-resident scoring fast path
+        self._scorer_fast_model = None
 
     # ------------------------------------------------------------------
     # decode helpers
@@ -487,16 +489,15 @@ class AVPipeline:
             "run_ids": run_ids,
         }
 
-    def _finish_video(self, st: Dict) -> ProcessedVideo:
+    def _finish_prep(self, st: Dict) -> Dict:
+        """Join host threads, dispatch audio, turn detection scores into
+        shot boundaries + per-frame shot assignment. Shared by the
+        materializing finisher and the device-resident scoring path."""
         from avsum_tpu.temporal.shots import boundaries_from_cuts, cuts_from_scores
 
-        reader = st["reader"]
-        video_id = st["video_id"]
-        fps, n_frames = st["fps"], st["n_frames"]
-        frame_idx = st["frame_idx"]
         host_work = st["host_work"]
         det_thread, wav_thread = st["det_thread"], st["wav_thread"]
-        pending, nf = st["pending"], len(st["frame_idx"])
+        n_frames, frame_idx = st["n_frames"], st["frame_idx"]
 
         with annotate("avsum.audio_dispatch"):
             wav_thread.join()
@@ -516,19 +517,36 @@ class AVPipeline:
             if len(boundaries) == 0:
                 boundaries = np.array([[0, n_frames]], np.int64)
 
+        starts = boundaries[:, 0]
+        shot_ids = np.searchsorted(starts, frame_idx, side="right") - 1
+        # per-shot cap (reference caps frames per shot, extractors.py:400)
+        cap = self.config.visual.max_frames_per_shot
+        first_of_shot = np.searchsorted(shot_ids, np.arange(len(boundaries)))
+        rank = np.arange(len(frame_idx)) - first_of_shot[shot_ids]
+        keep = rank < cap
+        return {
+            "audio_full": audio_full,
+            "boundaries": boundaries,
+            "shot_ids": shot_ids,
+            "keep": keep,
+        }
+
+    def _sample_bounds(self, boundaries: np.ndarray, fps: float) -> np.ndarray:
+        sr = self.config.audio.sample_rate
+        return boundaries.astype(np.float64) / fps * sr
+
+    def _finish_video(self, st: Dict) -> ProcessedVideo:
+        reader = st["reader"]
+        fps = st["fps"]
+        c = self._finish_prep(st)
+        boundaries = c["boundaries"]
+
         with annotate("avsum.visual_pool"):
-            starts = boundaries[:, 0]
-            shot_ids = np.searchsorted(starts, frame_idx, side="right") - 1
-            # per-shot cap (reference caps frames per shot, extractors.py:400)
-            cap = self.config.visual.max_frames_per_shot
-            first_of_shot = np.searchsorted(shot_ids, np.arange(len(boundaries)))
-            rank = np.arange(len(frame_idx)) - first_of_shot[shot_ids]
-            keep = rank < cap
             # pooling happens ON DEVICE: only the [S, D] pooled features
             # cross the link instead of the [F, D] raw frame features
             visual, counts = self.visual.pool_on_device(
-                pending, nf, shot_ids, keep, len(boundaries),
-                run_ids=st["run_ids"],
+                st["pending"], len(st["frame_idx"]), c["shot_ids"],
+                c["keep"], len(boundaries), run_ids=st["run_ids"],
             )
             # shots shorter than the sampling stride caught no uniform
             # sample; embed their start frames so every shot has at least
@@ -540,18 +558,98 @@ class AVPipeline:
                 visual[missing] = self.visual.frame_features_yuv(*extra_yuv)
 
         with annotate("avsum.audio_pool"):
-            sr = self.config.audio.sample_rate
-            sample_bounds = boundaries.astype(np.float64) / fps * sr
-            audio = np.asarray(self.audio.pool(audio_full, sample_bounds))
+            audio = np.asarray(
+                self.audio.pool(
+                    c["audio_full"], self._sample_bounds(boundaries, fps)
+                )
+            )
 
         return ProcessedVideo(
-            video_id=video_id,
+            video_id=st["video_id"],
             visual=visual.astype(np.float32),
             audio=audio.astype(np.float32),
             boundaries=np.asarray(boundaries, np.int64),
             fps=fps,
-            n_frames=n_frames,
+            n_frames=st["n_frames"],
         )
+
+    def _finish_summary_fast(
+        self, st: Dict, model, params, budget_fraction: Optional[float]
+    ) -> Dict:
+        """Device-resident scoring: pooled features never leave the chip.
+
+        The materializing path round-trips ~2x [S, 4096] over the host
+        link (pool readback, then scorer upload); post-execution the axon
+        tunnel serializes transfers at ~40 MB/s with ~29 ms latency each,
+        so those round trips cost real wall time. Here the bucket-padded
+        pooled visual/audio stay on device and feed the scorer directly —
+        only the counts vector and the final [S] scores cross the link.
+        Falls back to the materializing path when a shot needs the
+        missing-sample repair (host decode required).
+        """
+        import jax
+
+        reader = st["reader"]
+        fps, n_frames = st["fps"], st["n_frames"]
+        c = self._finish_prep(st)
+        boundaries = c["boundaries"]
+        n_shots = len(boundaries)
+
+        with annotate("avsum.visual_pool"):
+            pooled_dev, counts = self.visual.pool_on_device(
+                st["pending"], len(st["frame_idx"]), c["shot_ids"],
+                c["keep"], n_shots, run_ids=st["run_ids"],
+                return_device=True,
+            )
+        sb = pooled_dev.shape[0] - 1  # visual pool bucket (64-multiple)
+
+        with annotate("avsum.audio_pool"):
+            audio_dev = self.audio.pool(
+                c["audio_full"], self._sample_bounds(boundaries, fps),
+                s_bucket=sb, return_device=True,
+            )
+
+        missing = counts <= 0
+        if missing.any():
+            # rare repair path: materialize and rejoin the classic road
+            visual = np.asarray(pooled_dev)[:n_shots]
+            extra_idx = boundaries[missing, 0]
+            extra_yuv = self._read_yuv(reader, extra_idx)
+            visual[missing] = self.visual.frame_features_yuv(*extra_yuv)
+            p = ProcessedVideo(
+                video_id=st["video_id"],
+                visual=visual.astype(np.float32),
+                audio=np.asarray(audio_dev)[:n_shots].astype(np.float32),
+                boundaries=np.asarray(boundaries, np.int64),
+                fps=fps,
+                n_frames=n_frames,
+            )
+            return self._score_summary(p, model, params, budget_fraction)
+
+        with annotate("avsum.score_select"):
+            params = jax.device_put(params)  # no-op if already resident
+            if (self._scorer_fast_jit is None
+                    or self._scorer_fast_model is not model):
+                import jax.numpy as jnp
+
+                self._scorer_fast_jit = jax.jit(
+                    lambda pr, v, a, m: model.apply(
+                        {"params": pr},
+                        v[None, :-1].astype(jnp.float32),
+                        a[None].astype(jnp.float32),
+                        m[None],
+                    )[0]
+                )
+                self._scorer_fast_model = model
+            mask = np.zeros(sb, np.float32)
+            mask[:n_shots] = 1.0
+            scores = np.asarray(
+                self._scorer_fast_jit(params, pooled_dev, audio_dev, mask)
+            )[:n_shots]
+            return self._select_from_scores(
+                st["video_id"], scores, boundaries, fps, n_frames,
+                budget_fraction,
+            )
 
     def preprocess_dataset(
         self,
@@ -642,8 +740,9 @@ class AVPipeline:
         budget_fraction: Optional[float] = None,
     ) -> Dict:
         """raw video -> shot scores -> knapsack summary segments."""
-        p = self.process_video(video_path)
-        return self._score_summary(p, model, params, budget_fraction)
+        return self.summarize_begin(
+            video_path, model, params, budget_fraction
+        )()
 
     def summarize_begin(
         self,
@@ -655,7 +754,35 @@ class AVPipeline:
         """Start one video's summarize (decode dispatch + host threads) and
         return a zero-arg finisher producing the summary dict — so a serving
         loop can overlap video i+1's host work under video i's device work
-        (the same begin/finish pipelining preprocess_dataset uses)."""
+        (the same begin/finish pipelining preprocess_dataset uses).
+
+        With a Flax model + params on the native fast path, scoring stays
+        device-resident (:meth:`_finish_summary_fast`); artifacts and
+        scoreless runs take the materializing path."""
+        fast_model = (
+            model is not None and params is not None
+            and hasattr(model, "apply")
+        )
+        if fast_model:
+            reader = open_video(video_path)
+            video_id = os.path.splitext(os.path.basename(video_path))[0]
+            if self._fast_capable(reader):
+                try:
+                    st = self._begin_video(reader, video_id)
+                except Exception:
+                    reader.close()
+                    raise
+
+                def _finish_fast():
+                    try:
+                        return self._finish_summary_fast(
+                            st, model, params, budget_fraction
+                        )
+                    finally:
+                        reader.close()
+
+                return _finish_fast
+            reader.close()
         fin = self._begin_processed(video_path)
         return lambda: self._score_summary(fin(), model, params, budget_fraction)
 
@@ -712,32 +839,46 @@ class AVPipeline:
         else:
             # scoreless fallback: uniform scores -> summary = longest-fit
             scores = np.ones(len(p.visual), np.float32)
+        return self._select_from_scores(
+            p.video_id, scores, p.boundaries, p.fps, p.n_frames,
+            budget_fraction,
+        )
+
+    def _select_from_scores(
+        self,
+        video_id: str,
+        scores: np.ndarray,
+        boundaries: np.ndarray,
+        fps: float,
+        n_frames: int,
+        budget_fraction: Optional[float],
+    ) -> Dict:
         budget = (
             self.config.summary.budget_fraction
             if budget_fraction is None
             else budget_fraction
         )
         selected, segments = select_summary(
-            scores, p.boundaries, p.n_frames, budget
+            scores, boundaries, n_frames, budget
         )
-        if len(segments) == 0 and len(p.boundaries) > 0:
+        if len(segments) == 0 and len(boundaries) > 0:
             # every shot exceeds the budget (short video / long takes):
             # fall back to the best-scoring shot truncated to the budget
             best = int(np.argmax(scores))
-            start = int(p.boundaries[best, 0])
+            start = int(boundaries[best, 0])
             end = min(
-                int(p.boundaries[best, 1]),
-                start + max(int(budget * p.n_frames), 1),
+                int(boundaries[best, 1]),
+                start + max(int(budget * n_frames), 1),
             )
-            selected = np.zeros(len(p.boundaries), bool)
+            selected = np.zeros(len(boundaries), bool)
             selected[best] = True
             segments = np.array([[start, end]], np.int64)
         return {
-            "video_id": p.video_id,
+            "video_id": video_id,
             "scores": scores,
-            "boundaries": p.boundaries,
+            "boundaries": np.asarray(boundaries, np.int64),
             "selected": selected,
             "segments": segments,
-            "fps": p.fps,
-            "n_frames": p.n_frames,
+            "fps": fps,
+            "n_frames": n_frames,
         }

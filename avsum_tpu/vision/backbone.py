@@ -144,6 +144,22 @@ class VisualFrontend:
 
         self._embed_yuv = jax.jit(embed_yuv)
 
+        def embed_packed(variables, buf, h, w):
+            # one flat uint8 buffer = [B*h*w | B*(h//2)*(w//2) | same] —
+            # a single host->device transfer per batch. Post-execution the
+            # axon tunnel serializes transfers at ~40 MB/s with ~29 ms
+            # latency EACH; packing 3 plane arrays into one buffer saves
+            # two latency hits per batch and one RPC round per plane.
+            b = self.batch_size
+            ny = b * h * w
+            nc = b * (h // 2) * (w // 2)
+            y = buf[:ny].reshape(b, h, w)
+            u = buf[ny : ny + nc].reshape(b, h // 2, w // 2)
+            v = buf[ny + nc : ny + 2 * nc].reshape(b, h // 2, w // 2)
+            return embed_yuv(variables, y, u, v)
+
+        self._embed_packed = jax.jit(embed_packed, static_argnums=(2, 3))
+
     def frame_features(self, frames: np.ndarray) -> np.ndarray:
         """[F, H, W, 3] RGB frames -> [F, 4096], in fixed-size jit batches
         (tail padded so only one shape ever compiles). Dispatches stay
@@ -170,20 +186,23 @@ class VisualFrontend:
         device arrays. Host work (e.g. C++ shot detection) can proceed
         while the device computes; collect with :meth:`collect`."""
         f = y.shape[0]
+        h, w = y.shape[1], y.shape[2]
+        b = self.batch_size
+        ny, nc = h * w, (h // 2) * (w // 2)
         pending = []
-        for i in range(0, f, self.batch_size):
-            sl = slice(i, i + self.batch_size)
+        for i in range(0, f, b):
+            sl = slice(i, i + b)
             yc, uc, vc = y[sl], u[sl], v[sl]
             n = yc.shape[0]
-            if n < self.batch_size:
-                pad = self.batch_size - n
-                yc = np.concatenate([yc, np.zeros((pad, *yc.shape[1:]), yc.dtype)])
-                uc = np.concatenate([uc, np.zeros((pad, *uc.shape[1:]), uc.dtype)])
-                vc = np.concatenate([vc, np.zeros((pad, *vc.shape[1:]), vc.dtype)])
+            # pack the three planes (zero-padded tail batch) into ONE flat
+            # uint8 buffer: a single transfer instead of three (see
+            # _embed_packed for why that matters on a serialized link)
+            buf = np.zeros(b * (ny + 2 * nc), np.uint8)
+            buf[: n * ny] = yc.reshape(-1)
+            buf[b * ny : b * ny + n * nc] = uc.reshape(-1)
+            buf[b * (ny + nc) : b * (ny + nc) + n * nc] = vc.reshape(-1)
             pending.append(
-                self._embed_yuv(
-                    self.variables, jnp.asarray(yc), jnp.asarray(uc), jnp.asarray(vc)
-                )
+                self._embed_packed(self.variables, jnp.asarray(buf), h, w)
             )
         return pending, f
 
@@ -200,6 +219,7 @@ class VisualFrontend:
         keep: np.ndarray,
         n_shots: int,
         run_ids: Optional[np.ndarray] = None,
+        return_device: bool = False,
     ):
         """Segment-pool dispatched frame features ON DEVICE and ship only
         the [n_shots, D] result (+counts) — for long videos the raw
@@ -210,7 +230,13 @@ class VisualFrontend:
         embedded frames — frame f pools run_ids[f]'s embedding, so pooling
         stays exact over frame counts when only unique frames were shipped
         (visual.dedup_threshold). None = identity (frame f == embedding f).
-        Returns (pooled [n_shots, D] f32, counts [n_shots]).
+        Returns (pooled [n_shots, D] f32, counts [n_shots]); with
+        ``return_device=True`` the pooled features stay ON device as the
+        full bucket-padded [n_bucket+1, D] array (rows >= n_shots are
+        padding; the last row is the overflow bin) and only the small
+        counts vector is read back — the device-resident scoring fast
+        path consumes them without the 2x ~1 MB pooled-feature round
+        trip over the link.
         """
         if not pending:
             return (
@@ -270,8 +296,10 @@ class VisualFrontend:
                 tuple(pending), jnp.asarray(runs), jnp.asarray(ids),
                 jnp.asarray(keep_p), n_bucket + 1,
             )
-        pooled = np.asarray(pooled)[:n_shots]
         counts = np.asarray(counts)[:n_shots]
+        if return_device:
+            return pooled, counts
+        pooled = np.asarray(pooled)[:n_shots]
         return pooled, counts
 
     def frame_features_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:

@@ -200,3 +200,45 @@ def test_refined_scores_cut_exact(tmp_path):
     refreshed = np.abs(hybrid - fine) < 1e-5
     assert refreshed[np.asarray(fine) > 27.0].all()
     r.close()
+
+
+def test_device_resident_summarize_matches_classic(tmp_path):
+    """The device-resident scoring path (pooled features never leave the
+    chip, _finish_summary_fast) must produce the same summary as the
+    materializing path for the same model/params."""
+    import jax
+
+    from avsum_tpu.models import make_model
+    from avsum_tpu.pipeline import AVPipeline
+    from avsum_tpu.train.config import load_config
+
+    if not native_available():
+        pytest.skip("native library not built")
+
+    cfg = load_config(overrides=["visual.backbone=tiny"])
+    stem = str(tmp_path / "v")
+    write_scene_video(stem, n_scenes=4, seed=23, height=48, width=64)
+
+    p = AVPipeline(cfg)
+    model = make_model(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+
+    params = model.init(
+        rng,
+        jnp.zeros((1, 8, cfg.model.visual_dim)),
+        jnp.zeros((1, 8, cfg.model.audio_dim)),
+        jnp.ones((1, 8)),
+    )["params"]
+
+    fast = p.summarize(stem + ".y4m", model, params)
+    # classic materializing road for the identical inputs
+    classic = p._score_summary(
+        p.process_video(stem + ".y4m"), model, params, None
+    )
+    assert np.array_equal(fast["boundaries"], classic["boundaries"])
+    np.testing.assert_allclose(
+        fast["scores"], classic["scores"], rtol=1e-4, atol=1e-5
+    )
+    assert np.array_equal(fast["segments"], classic["segments"])
+    assert np.array_equal(fast["selected"], classic["selected"])
