@@ -325,6 +325,7 @@ def cmd_serve(args) -> int:
             media_root=args.media_root or "",
             max_queue=args.max_queue,
             request_timeout_s=args.request_timeout,
+            max_upload_mb=args.max_upload_mb,
         ),
         model=model,
         params=params,
@@ -467,6 +468,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         default=0.0,
         metavar="SECONDS",
         help="per-request wall-clock budget (504 past it; 0 = none)",
+    )
+    p.add_argument(
+        "--max-upload-mb",
+        type=int,
+        default=512,
+        help="largest media body for POST /v1/summarize/upload "
+        "(413 beyond; 0 disables the upload endpoint)",
     )
     p.set_defaults(fn=cmd_serve)
 

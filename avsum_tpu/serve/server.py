@@ -22,9 +22,10 @@ TPU-first design:
   ships only its video's bytes, never weights.
 
 The API takes server-local paths (an internal/trusted service, the
-deployment shape of a preprocessing farm next to storage). Raw-upload
-ingest would sit behind the same endpoint; the host-side decode path is
-identical.
+deployment shape of a preprocessing farm next to storage) and, for
+clients without shared storage, raw media uploads
+(``POST /v1/summarize/upload``): the body is streamed to a bounded
+temp file, summarized through the same worker queue, and deleted.
 """
 
 from __future__ import annotations
@@ -64,6 +65,9 @@ class ServeConfig:
     # per-request wall-clock budget: waiters give up with 504 and the
     # worker skips the request if it hasn't started yet; 0 = no timeout
     request_timeout_s: float = 0.0
+    # POST /v1/summarize/upload: largest accepted media body (413 beyond);
+    # 0 disables the upload endpoint entirely
+    max_upload_mb: int = 512
 
 
 class _Request:
@@ -100,6 +104,10 @@ class SummarizeServer:
       GET  /v1/stats      -> request counters + latency
       POST /v1/summarize  -> {"path": ..., "budget_fraction"?: float}
                              -> summary JSON (scores, segments, fps)
+      POST /v1/summarize/upload?ext=mp4[&budget_fraction=f]
+                          -> raw media bytes as the body -> summary JSON
+                             (streamed to a bounded temp file; 413 over
+                             ``ServeConfig.max_upload_mb``)
     """
 
     def __init__(
@@ -325,6 +333,8 @@ class SummarizeServer:
                 return self._json(404, {"error": f"unknown path {self.path}"})
 
             def do_POST(self):
+                if self.path.split("?", 1)[0] == "/v1/summarize/upload":
+                    return self._upload()
                 if self.path != "/v1/summarize":
                     return self._json(404, {"error": f"unknown path {self.path}"})
                 try:
@@ -346,6 +356,89 @@ class SummarizeServer:
                 if code == 499:
                     return  # client already gone; nothing to write
                 return self._json(code, payload)
+
+            def _upload(self):
+                """Raw media body -> temp file -> the same worker queue.
+
+                The extension (which selects the decode backend) comes
+                from ``?ext=``, or from the Content-Type for the common
+                container types. The temp file is deleted when the
+                request finishes, succeed or fail."""
+                import tempfile
+                from urllib.parse import parse_qs, urlparse
+
+                if server.serve_config.max_upload_mb <= 0:
+                    return self._json(404, {"error": "uploads disabled"})
+                q = parse_qs(urlparse(self.path).query)
+                ctype_ext = {
+                    "video/mp4": "mp4",
+                    "video/quicktime": "mov",
+                    "video/x-y4m": "y4m",
+                    "application/vnd.y4m": "y4m",
+                }
+                ext = (q.get("ext", [None])[0]
+                       or ctype_ext.get(
+                           (self.headers.get("Content-Type") or "")
+                           .split(";")[0].strip().lower()))
+                if not ext or not ext.replace(".", "").isalnum():
+                    return self._json(400, {
+                        "error": "need ?ext=<container extension> (e.g. "
+                        "ext=mp4) or a recognized video Content-Type"})
+                ext = "." + ext.lstrip(".").lower()
+                try:
+                    n = int(self.headers.get("Content-Length", -1))
+                except ValueError:
+                    n = -1
+                limit = server.serve_config.max_upload_mb * 1024 * 1024
+                if n < 0:
+                    return self._json(411, {"error": "Content-Length required"})
+                if n > limit:
+                    # drain a bounded amount so simple clients mid-send see
+                    # the 413 instead of a broken pipe; beyond the drain
+                    # cap just close (we won't sink arbitrary bytes)
+                    remaining = min(n, limit + 8 * 1024 * 1024)
+                    while remaining > 0:
+                        got = self.rfile.read(min(remaining, 1 << 20))
+                        if not got:
+                            break
+                        remaining -= len(got)
+                    self.close_connection = True
+                    return self._json(413, {
+                        "error": f"body {n} bytes exceeds max_upload_mb="
+                        f"{server.serve_config.max_upload_mb}"})
+                budget = None
+                if "budget_fraction" in q:
+                    try:
+                        budget = float(q["budget_fraction"][0])
+                    except ValueError:
+                        return self._json(
+                            400, {"error": "bad budget_fraction"})
+                fd, tmp = tempfile.mkstemp(suffix=ext, prefix="avsum_up_")
+                try:
+                    with os.fdopen(fd, "wb") as fh:
+                        remaining = n
+                        while remaining > 0:
+                            chunk = self.rfile.read(min(remaining, 1 << 20))
+                            if not chunk:
+                                return self._json(
+                                    400, {"error": "truncated body"})
+                            fh.write(chunk)
+                            remaining -= len(chunk)
+                    code, payload = server.handle_summarize(
+                        tmp, budget, disconnected=self._client_gone,
+                        is_upload=True,
+                    )
+                    if code == 499:
+                        return  # client already gone
+                    if code == 200:
+                        payload = dict(payload)
+                        payload.pop("video_id", None)  # temp name: noise
+                    return self._json(code, payload)
+                finally:
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
 
             def _client_gone(self) -> bool:
                 """True if the client closed its end (poll, non-blocking).
@@ -413,17 +506,19 @@ class SummarizeServer:
     # ------------------------------------------------------------------
 
     def handle_summarize(self, path: str, budget_fraction=None,
-                         disconnected=None):
+                         disconnected=None, is_upload: bool = False):
         """One request: (http_code, payload). FIFO order via the worker.
 
         ``disconnected`` is an optional zero-arg callable polled while
         waiting; when it returns True the request is abandoned (the worker
         skips it if it hasn't started) and the result is discarded.
+        ``is_upload`` marks a server-created temp file (the media-root
+        containment check applies only to client-supplied paths).
         """
         self._ready.wait()
         if not self._running:
             return 503, {"error": "server is shutting down"}
-        if self._media_root:
+        if self._media_root and not is_upload:
             real = os.path.realpath(path)
             if not (real == self._media_root
                     or real.startswith(self._media_root + os.sep)):

@@ -1,7 +1,9 @@
 """HTTP serving subsystem: endpoints, ordering, isolation, stats."""
 
 import json
+import os
 import threading
+from dataclasses import replace as dataclasses_replace
 from http.client import HTTPConnection
 
 import numpy as np
@@ -252,3 +254,68 @@ def test_access_log_records_requests(tmp_path, video):
     ok = [ln for ln in lines if ln["code"] == 200]
     assert ok and ok[0]["path"] == video
     assert ok[0]["n_frames"] > 0 and ok[0]["latency_s"] > 0
+
+
+def _raw_post(srv, path, body: bytes, headers=None):
+    conn = HTTPConnection("127.0.0.1", srv.port, timeout=300)
+    try:
+        conn.request("POST", path, body=body, headers=headers or {})
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read() or b"{}")
+    finally:
+        conn.close()
+
+
+def test_upload_endpoint(server, video):
+    """POST /v1/summarize/upload: raw media body -> summary, temp file
+    cleaned up afterwards."""
+    import glob
+    import tempfile
+
+    server._ready.wait(timeout=300)
+    blob = open(video, "rb").read()
+    code, payload = _raw_post(server, "/v1/summarize/upload?ext=y4m", blob)
+    assert code == 200, payload
+    assert payload["n_frames"] > 0 and len(payload["segments"]) >= 1
+    assert "video_id" not in payload  # temp name is meaningless to clients
+    # same answer as the path-based endpoint
+    code2, by_path = _request(server, "POST", "/v1/summarize", {"path": video})
+    assert code2 == 200
+    assert payload["segments"] == by_path["segments"]
+    # no leaked temp files
+    assert not glob.glob(os.path.join(tempfile.gettempdir(), "avsum_up_*"))
+
+
+def test_upload_content_type_ext(server, video):
+    blob = open(video, "rb").read()
+    code, payload = _raw_post(
+        server, "/v1/summarize/upload", blob,
+        headers={"Content-Type": "application/vnd.y4m"},
+    )
+    assert code == 200, payload
+
+
+def test_upload_rejections(server):
+    # no extension hint
+    code, payload = _raw_post(server, "/v1/summarize/upload", b"xx")
+    assert code == 400 and "ext" in payload["error"]
+    # over the size limit
+    old = server.serve_config.max_upload_mb
+    server.serve_config = dataclasses_replace(server.serve_config, max_upload_mb=0)
+    try:
+        code, payload = _raw_post(server, "/v1/summarize/upload?ext=y4m", b"xx")
+        assert code == 404 and "disabled" in payload["error"]
+    finally:
+        server.serve_config = dataclasses_replace(server.serve_config, max_upload_mb=old)
+    server.serve_config = dataclasses_replace(server.serve_config, max_upload_mb=1)
+    try:
+        big = b"\0" * (2 * 1024 * 1024)
+        code, payload = _raw_post(server, "/v1/summarize/upload?ext=y4m", big)
+        assert code == 413, payload
+    finally:
+        server.serve_config = dataclasses_replace(server.serve_config, max_upload_mb=old)
+    # garbage body with a real ext: per-request isolation -> 4xx/5xx, not death
+    code, payload = _raw_post(server, "/v1/summarize/upload?ext=y4m", b"junk")
+    assert code in (400, 422, 500)
+    code, _ = _request(server, "GET", "/healthz")
+    assert code == 200
