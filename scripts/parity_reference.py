@@ -28,9 +28,15 @@ without network or codecs:
 5. Writes PARITY_F1.json / PARITY_F1.md with per-model means and deltas.
 
 Run: python scripts/parity_reference.py [--out-dir .] [--quick]
-(AVSUM_PLATFORM=cpu recommended: the models are small and host-side
-training avoids tunnel compile latency; the product path on TPU is
-covered by bench.py and the e2e suite.)
+
+Platform: the harness forces JAX onto **CPU at full f32** (set
+AVSUM_PLATFORM=tpu to override). Fairness requires it: the torch
+reference side always trains in f32 on CPU, and on TPU JAX's DEFAULT
+matmul precision runs f32 matmuls as bf16 MXU passes — round-3
+diagnosis showed the attention variant trained under that asymmetry
+could converge to confidently *inverted* scores on individual held-out
+videos (pv18: rho -0.33 on-TPU vs +0.96 on-CPU, same data and seed).
+The product path on TPU is covered by bench.py and the e2e suite.
 """
 
 from __future__ import annotations
@@ -47,6 +53,14 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
+
+if os.environ.get("AVSUM_PLATFORM", "cpu").lower() != "tpu":
+    # must run before any jax backend initializes (the axon plugin
+    # ignores the JAX_PLATFORMS env var once loaded)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +179,15 @@ def score_with_reference(model, example) -> np.ndarray:
 @dataclasses.dataclass
 class ParitySettings:
     n_videos: int = 20
-    n_scenes: int = 10
+    # 16 scenes/video (round 3; was 10): with ~10 coarse shots the 15%
+    # knapsack often has two near-equal-value but DISJOINT packings —
+    # diagnosis on the old world found held-out videos where rho +0.96
+    # predictions still scored canonical F1 0.0 because a <2% value tie
+    # flipped the selection to segments sharing no frames with the users'
+    # (pv15: {4,9} vs {7}). Finer shot granularity removes the
+    # degeneracy so the metric measures ranking quality, not packing
+    # coin flips.
+    n_scenes: int = 16
     height: int = 48
     width: int = 64
     epochs: int = 100
