@@ -152,6 +152,13 @@ class TrainConfig:
     keep_checkpoints: int = 3
     log_path: Optional[str] = None  # JSONL scalar sink
     debug_nans: bool = False
+    # JAX matmul precision for training: "default" keeps the backend's
+    # fastest mode (on TPU, f32 matmuls run as bf16 MXU passes — the
+    # standard production choice), "float32"/"highest" forces full-f32
+    # accumulation paths (use for numerics-sensitive A/B comparisons;
+    # see PARITY_PROCEDURE.md §6 for a case where the default changed a
+    # trained model's behavior). Applied process-wide by the Trainer.
+    matmul_precision: str = "default"
 
 
 @dataclass(frozen=True)

@@ -54,6 +54,12 @@ class Trainer:
             import jax as _jax
 
             _jax.config.update("jax_debug_nans", True)
+        if config.train.matmul_precision != "default":
+            # process-wide by nature of the jax config; documented on the
+            # TrainConfig field
+            jax.config.update(
+                "jax_default_matmul_precision", config.train.matmul_precision
+            )
         self.train_step = make_train_step(model, self.mesh, seed=config.train.seed)
         self.eval_step = make_eval_step(model, self.mesh)
         self.state = None

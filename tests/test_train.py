@@ -190,3 +190,24 @@ def test_hour_scale_training_config_steps():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_matmul_precision_knob():
+    """train.matmul_precision pins jax's default matmul precision
+    process-wide; 'default' leaves it alone."""
+    import jax
+
+    from avsum_tpu.models import make_model
+    from avsum_tpu.train.config import load_config
+    from avsum_tpu.train.trainer import Trainer
+
+    before = jax.config.jax_default_matmul_precision
+    try:
+        cfg = load_config(overrides=[
+            "model.hidden_dim=16", "model.scorer_hidden=8",
+            "train.matmul_precision=highest",
+        ])
+        Trainer(make_model(cfg.model), cfg)
+        assert jax.config.jax_default_matmul_precision == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
