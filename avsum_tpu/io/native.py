@@ -202,6 +202,41 @@ class NativeY4MReader:
             raise IOError(f"avsumio yuv resized read failed rc={rc}")
         return y, u, v
 
+    def read_yuv420_packed(
+        self, indices, out_w: int, out_h: int, batch_cap: int
+    ) -> np.ndarray:
+        """Resized planes written straight into ONE contiguous uint8 buffer
+        ``[cap*oy | cap*oc | cap*oc]`` (ys, then us, then vs; tail frames
+        zeroed) — the single-transfer layout the visual frontend's
+        ``_embed_packed`` consumes. Saves the host-side repack memcpy that
+        a (y, u, v) triple would need before shipping."""
+        idx = np.ascontiguousarray(np.asarray(indices, np.int64))
+        n = len(idx)
+        if n > batch_cap:
+            raise ValueError(f"{n} frames > batch_cap {batch_cap}")
+        oy = out_w * out_h
+        oc = (out_w // 2) * (out_h // 2)
+        buf = np.empty(batch_cap * (oy + 2 * oc), np.uint8)
+        u0 = batch_cap * oy
+        v0 = u0 + batch_cap * oc
+        rc = self._lib.avsumio_y4m_read_yuv_resized(
+            self._handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            n,
+            out_w,
+            out_h,
+            ctypes.c_void_p(buf.ctypes.data),
+            ctypes.c_void_p(buf.ctypes.data + u0),
+            ctypes.c_void_p(buf.ctypes.data + v0),
+        )
+        if rc != 0:
+            raise IOError(f"avsumio yuv packed read failed rc={rc}")
+        if n < batch_cap:  # zero the pad tail of each plane section
+            buf[n * oy : u0] = 0
+            buf[u0 + n * oc : v0] = 0
+            buf[v0 + n * oc :] = 0
+        return buf
+
     def content_scores(
         self, start: int = 0, stop: Optional[int] = None, scale: int = 1
     ) -> np.ndarray:

@@ -471,10 +471,26 @@ class AVPipeline:
                     "dedup: %d/%d frames shipped", n_unique, len(frame_idx)
                 )
             else:
+                ship = self.config.visual.ship_size
+                packed = (
+                    ship
+                    and hasattr(reader, "read_yuv420_packed")
+                    and reader.width * reader.height > ship * ship
+                )
                 for i in range(0, len(frame_idx), bs):
-                    yuv = self._read_yuv(reader, frame_idx[i : i + bs])
-                    block_pending, _ = self.visual.dispatch_yuv(*yuv)
-                    pending.extend(block_pending)
+                    if packed:
+                        # C++ writes the resized planes straight into the
+                        # single-transfer packed layout — no host repack
+                        buf = reader.read_yuv420_packed(
+                            frame_idx[i : i + bs], ship, ship, bs
+                        )
+                        pending.append(
+                            self.visual.dispatch_packed(buf, ship, ship)
+                        )
+                    else:
+                        yuv = self._read_yuv(reader, frame_idx[i : i + bs])
+                        block_pending, _ = self.visual.dispatch_yuv(*yuv)
+                        pending.extend(block_pending)
 
         return {
             "reader": reader,

@@ -206,6 +206,16 @@ class VisualFrontend:
             )
         return pending, f
 
+    def dispatch_packed(self, buf: np.ndarray, h: int, w: int):
+        """Enqueue ONE pre-packed plane buffer (io.native
+        ``read_yuv420_packed`` layout, length ``batch_size * (h*w +
+        2*(h//2 * w//2))``) — the zero-repack fast path: the C++ reader
+        wrote the planes straight into this single-transfer layout."""
+        expect = self.batch_size * (h * w + 2 * (h // 2) * (w // 2))
+        if buf.shape != (expect,):
+            raise ValueError(f"packed buffer shape {buf.shape} != ({expect},)")
+        return self._embed_packed(self.variables, jnp.asarray(buf), h, w)
+
     def collect(self, pending, n_frames: int) -> np.ndarray:
         if not pending:
             return np.zeros((0, self.config.feature_dim), np.float32)

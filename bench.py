@@ -18,11 +18,14 @@ the reference's per-shot micro-batched CPU extraction
 (/root/reference/features/extractors.py:43-115).
 """
 
+import dataclasses
 import json
 import os
 import subprocess
 import sys
 import time
+
+import numpy as np
 
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
 STEM = os.path.join(BENCH_DIR, "bench_640x360_120s")
@@ -190,6 +193,39 @@ def main():
     fpf = embed_flops_per_frame(pipeline)
     mfu_lb = n_embedded * fpf / best / V5E_BF16_PEAK
 
+    # secondary metric: adaptive near-duplicate sampling
+    # (visual.dedup_threshold=12) — the opt-in mode that skips shipping
+    # frames whose luma barely moved. Reported alongside the default-
+    # config headline, never as it: the headline stays exact-mode.
+    adaptive_fps = adaptive_identical = None
+    ded = pipeline.config.visual.dedup_threshold
+    try:
+        pipeline.config = dataclasses.replace(
+            pipeline.config,
+            visual=dataclasses.replace(
+                pipeline.config.visual, dedup_threshold=12.0),
+        )
+        pipeline.summarize(video, model, params)  # adaptive-path compiles
+        tbest = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r2 = pipeline.summarize(video, model, params)
+            dt = time.perf_counter() - t0
+            tbest = dt if tbest is None else min(tbest, dt)
+        adaptive_fps = round(n_frames / tbest, 1)
+        adaptive_identical = bool(
+            np.array_equal(r2["segments"], result["segments"]))
+        log(f"adaptive sampling: {adaptive_fps} eff fps "
+            f"(identical segments: {adaptive_identical})")
+    except Exception as e:  # noqa: BLE001 — secondary metric only
+        log(f"adaptive probe failed: {e}")
+    finally:
+        pipeline.config = dataclasses.replace(
+            pipeline.config,
+            visual=dataclasses.replace(
+                pipeline.config.visual, dedup_threshold=ded),
+        )
+
     # warm-start proof: a second process against the same compilation
     # cache (skipped off-TPU where compile times are not the story)
     warmup_warm = None
@@ -242,6 +278,8 @@ def main():
                 "mfu_lower_bound_pct": round(100 * mfu_lb, 2),
                 "warmup_cold_s": round(warmup_cold, 1),
                 "warmup_warm_s": warmup_warm,
+                "adaptive_fps": adaptive_fps,
+                "adaptive_identical_segments": adaptive_identical,
             }
         )
     )

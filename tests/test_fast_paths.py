@@ -242,3 +242,37 @@ def test_device_resident_summarize_matches_classic(tmp_path):
     )
     assert np.array_equal(fast["segments"], classic["segments"])
     assert np.array_equal(fast["selected"], classic["selected"])
+
+
+def test_packed_read_matches_triple(tmp_path):
+    """read_yuv420_packed writes the exact (y,u,v) planes of the triple
+    read into the single-transfer layout, with a zeroed pad tail."""
+    from avsum_tpu.io.synthetic import make_scene_video
+    from avsum_tpu.io.y4m import write_y4m
+
+    if not native_available():
+        pytest.skip("native library not built")
+    video, _, _ = make_scene_video(
+        n_scenes=3, seed=31, height=64, width=96, scene_len_frames=(8, 12)
+    )
+    path = str(tmp_path / "p.y4m")
+    write_y4m(path, video, fps=30.0)
+    r = NativeY4MReader(path)
+    try:
+        idx = np.arange(0, r.n_frames, 3, dtype=np.int64)[:5]
+        n, cap, w, h = len(idx), len(idx) + 3, 32, 32
+        y, u, v = r.read_yuv420_resized(idx, w, h)
+        buf = r.read_yuv420_packed(idx, w, h, cap)
+        oy, oc = w * h, (w // 2) * (h // 2)
+        assert buf.shape == (cap * (oy + 2 * oc),)
+        assert np.array_equal(buf[: n * oy].reshape(n, h, w), y)
+        u_sec = buf[cap * oy : cap * oy + n * oc].reshape(n, h // 2, w // 2)
+        v_sec = buf[cap * (oy + oc) : cap * (oy + oc) + n * oc].reshape(
+            n, h // 2, w // 2)
+        assert np.array_equal(u_sec, u) and np.array_equal(v_sec, v)
+        # pad tails are zero
+        assert not buf[n * oy : cap * oy].any()
+        assert not buf[cap * oy + n * oc : cap * (oy + oc)].any()
+        assert not buf[cap * (oy + oc) + n * oc :].any()
+    finally:
+        r.close()
