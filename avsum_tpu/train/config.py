@@ -159,6 +159,11 @@ class TrainConfig:
     # see PARITY_PROCEDURE.md §6 for a case where the default changed a
     # trained model's behavior). Applied process-wide by the Trainer.
     matmul_precision: str = "default"
+    # Polyak/EMA weight averaging: > 0 maintains an exponential moving
+    # average of the params on device (decay per step, e.g. 0.999) and
+    # evaluates/scores with the averaged weights — a cheap stabilizer
+    # for small-data training. 0 disables (no state, no overhead).
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

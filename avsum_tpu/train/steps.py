@@ -29,7 +29,16 @@ from avsum_tpu.train.config import TrainConfig
 
 
 class TrainState(train_state.TrainState):
-    """Standard flax TrainState; dropout rng folded in from the step index."""
+    """Flax TrainState; dropout rng folded in from the step index.
+
+    ``ema_params``: exponential moving average of the parameters
+    (Polyak averaging), maintained on device by the train step when
+    ``TrainConfig.ema_decay`` > 0 and used for evaluation/scoring — a
+    cheap stabilizer for small-data regimes where individual training
+    runs are high-variance. ``None`` (the default) disables it with
+    zero overhead."""
+
+    ema_params: Optional[dict] = None
 
 
 Batch = Dict[str, jnp.ndarray]  # visual, audio, targets, mask
@@ -69,7 +78,12 @@ def create_train_state(
         deterministic=False,
     )["params"]
     return TrainState.create(
-        apply_fn=model.apply, params=params, tx=make_optimizer(cfg, total_steps)
+        apply_fn=model.apply,
+        params=params,
+        tx=make_optimizer(cfg, total_steps),
+        ema_params=(
+            jax.tree.map(jnp.array, params) if cfg.ema_decay > 0 else None
+        ),
     )
 
 
@@ -169,7 +183,11 @@ def shard_state(state, mesh: Mesh):
 
 
 def make_train_step(
-    model, mesh: Optional[Mesh] = None, seed: int = 0, state_sharding=None
+    model,
+    mesh: Optional[Mesh] = None,
+    seed: int = 0,
+    state_sharding=None,
+    ema_decay: float = 0.0,
 ):
     """Build the jitted train step. With a mesh, inputs/outputs carry
     NamedShardings so XLA emits the psum for the data/seq-parallel grads,
@@ -197,6 +215,14 @@ def make_train_step(
             state.params
         )
         new_state = state.apply_gradients(grads=grads)
+        if ema_decay > 0:
+            new_state = new_state.replace(
+                ema_params=jax.tree.map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                    state.ema_params,
+                    new_state.params,
+                )
+            )
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),

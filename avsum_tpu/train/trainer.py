@@ -60,7 +60,10 @@ class Trainer:
             jax.config.update(
                 "jax_default_matmul_precision", config.train.matmul_precision
             )
-        self.train_step = make_train_step(model, self.mesh, seed=config.train.seed)
+        self.train_step = make_train_step(
+            model, self.mesh, seed=config.train.seed,
+            ema_decay=config.train.ema_decay,
+        )
         self.eval_step = make_eval_step(model, self.mesh)
         self.state = None
         self.total_steps = total_steps
@@ -168,8 +171,18 @@ class Trainer:
         while bucket < s:
             bucket *= 2
         batch = pad_batch([example], bucket)
-        out = self.eval_step(self.state.params, shard_batch_dict(batch, self.mesh))
+        out = self.eval_step(
+            self.eval_params, shard_batch_dict(batch, self.mesh)
+        )
         return np.asarray(jax.device_get(out["preds"]))[0, :s]
+
+    @property
+    def eval_params(self):
+        """Parameters used for evaluation/scoring: the EMA average when
+        ``train.ema_decay`` > 0, the raw trained params otherwise."""
+        if getattr(self.state, "ema_params", None) is not None:
+            return self.state.ema_params
+        return self.state.params
 
     def evaluate_videos(self, batches: Iterable[Batch]) -> Dict[str, float]:
         """Per-video metric means, matching evaluate.py:38-42's protocol
@@ -177,7 +190,7 @@ class Trainer:
         per_video: List[Dict[str, float]] = []
         for batch in batches:
             batch = shard_batch_dict(batch, self.mesh)
-            out = self.eval_step(self.state.params, batch)
+            out = self.eval_step(self.eval_params, batch)
             preds = np.asarray(jax.device_get(out["preds"]))
             targets = np.asarray(jax.device_get(batch["targets"]))
             masks = np.asarray(jax.device_get(batch["mask"]))

@@ -211,3 +211,59 @@ def test_matmul_precision_knob():
         assert jax.config.jax_default_matmul_precision == "highest"
     finally:
         jax.config.update("jax_default_matmul_precision", before)
+
+
+def test_ema_weight_averaging():
+    """train.ema_decay maintains a Polyak average used for eval; 0 keeps
+    the raw-params behavior with no ema state at all."""
+    import jax
+    import numpy as np
+
+    from avsum_tpu.data.batching import batch_iterator
+    from avsum_tpu.models import make_model
+    from avsum_tpu.train.config import load_config
+    from avsum_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(3)
+
+    class Ex:
+        def __init__(s, i):
+            s.video_id = f"v{i}"
+            s.n_shots = 8
+            s.visual = rng.standard_normal((8, 8)).astype(np.float32)
+            s.audio = rng.standard_normal((8, 4)).astype(np.float32)
+            s.targets = rng.random(8).astype(np.float32)
+
+    exs = [Ex(i) for i in range(4)]
+
+    def batches(epoch=0):
+        return batch_iterator(
+            exs, batch_size=2, max_shots=8, shuffle=True, seed=epoch
+        )
+
+    def build(decay):
+        cfg = load_config(overrides=[
+            "model.hidden_dim=16", "model.scorer_hidden=8",
+            "model.visual_dim=8", "model.audio_dim=4", "data.max_shots=8",
+            "train.epochs=2", f"train.ema_decay={decay}",
+            "train.checkpoint_dir=/tmp/ema_ck_" + str(decay),
+        ])
+        tr = Trainer(make_model(cfg.model), cfg)
+        tr.fit(batches, epochs=2)
+        return tr
+
+    off = build(0.0)
+    assert off.state.ema_params is None
+    assert off.eval_params is off.state.params
+
+    on = build(0.9)
+    assert on.state.ema_params is not None
+    assert on.eval_params is on.state.ema_params
+    # the average lags the raw params but tracks them
+    p = jax.tree.leaves(on.state.params)[0]
+    e = jax.tree.leaves(on.state.ema_params)[0]
+    assert not np.array_equal(np.asarray(p), np.asarray(e))
+    assert np.abs(np.asarray(p) - np.asarray(e)).max() < 1.0
+    # scoring runs through the averaged weights without error
+    s = on.score_video(exs[0])
+    assert s.shape == (8,) and np.isfinite(s).all()
