@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,13 +67,29 @@ def keyframe_f1(
 
 def _rankdata(x: jnp.ndarray) -> jnp.ndarray:
     """Average ranks (ties get the mean of the ranks they cover), like
-    ``scipy.stats.rankdata(method='average')``."""
+    ``scipy.stats.rankdata(method='average')``.
+
+    Sort-based O(n log n), jittable, and materializes only [n] arrays —
+    safe at hour-scale shot counts (S≈7168) where the old pairwise
+    formulation allocated ~200 MB [S,S] matrices.
+    """
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
-    # rank = 1 + #strictly-less + (#equal - 1)/2   (average-tie rank)
-    less = jnp.sum(x[:, None] > x[None, :], axis=1).astype(jnp.float32)
-    equal = jnp.sum(x[:, None] == x[None, :], axis=1).astype(jnp.float32)
-    return less + (equal + 1.0) / 2.0
+    order = jnp.argsort(x)
+    xs = x[order]
+    idx = jnp.arange(n, dtype=jnp.float32)
+    # tie-group starts/ends in the sorted order
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), xs[1:] != xs[:-1]]) if n else jnp.ones((0,), bool)
+    is_end = jnp.concatenate(
+        [xs[1:] != xs[:-1], jnp.ones((1,), bool)]) if n else jnp.ones((0,), bool)
+    # position of my group's first element: running max of start positions
+    start_pos = jax.lax.cummax(jnp.where(is_start, idx, -1.0))
+    # position of my group's last element: reversed running min of end positions
+    end_pos = jax.lax.cummin(
+        jnp.where(is_end, idx, float(n))[::-1])[::-1]
+    avg_rank_sorted = (start_pos + end_pos) / 2.0 + 1.0  # 1-based average
+    return jnp.zeros(n, jnp.float32).at[order].set(avg_rank_sorted)
 
 
 def spearman_rho(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -86,12 +103,15 @@ def spearman_rho(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(rp * rt) / jnp.maximum(denom, _EPS)
 
 
-def kendall_tau(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Kendall tau-b, matching ``scipy.stats.kendalltau`` (evaluate.py:36).
+# Above this length the host Knight-algorithm tau runs instead of the
+# pairwise kernel (an [S,S] f32 at S=7168 is ~200 MB; several live at once
+# during eval). Tracer inputs always take the pairwise path (jittable).
+_TAU_PAIRWISE_MAX = 2048
 
-    O(n^2) pairwise formulation — fine for shot sequences (tens to a few
-    thousand elements) and fully vectorized for the VPU.
-    """
+
+def _kendall_tau_pairwise(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Kendall tau-b, O(n^2) pairwise formulation — fully vectorized for
+    the VPU and jittable; the golden reference for the O(n log n) path."""
     x = jnp.asarray(pred, jnp.float32).reshape(-1)
     y = jnp.asarray(target, jnp.float32).reshape(-1)
     dx = jnp.sign(x[:, None] - x[None, :])
@@ -104,6 +124,71 @@ def kendall_tau(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     ty = jnp.sum((dy == 0).astype(jnp.float32) * iu)  # ties in y
     denom = jnp.sqrt((n0 - tx) * (n0 - ty))
     return concordant_minus_discordant / jnp.maximum(denom, _EPS)
+
+
+def _count_inversions(a: np.ndarray) -> int:
+    """Inversions (pairs i<j with a[i] > a[j]) by merge sort with
+    vectorized cross-counting — O(n log n), no [n,n] arrays."""
+    n = a.shape[0]
+    if n <= 1:
+        return 0
+    mid = n // 2
+    left, right = a[:mid], a[mid:]
+    inv = _count_inversions(left) + _count_inversions(right)
+    left_sorted = np.sort(left)
+    # for each r in right: #left strictly greater than r
+    inv += int(
+        (left_sorted.shape[0]
+         - np.searchsorted(left_sorted, right, side="right")).sum()
+    )
+    return inv
+
+
+def _tie_pair_count(sorted_x: np.ndarray) -> float:
+    """sum over tie groups of t*(t-1)/2, given a sorted array."""
+    _, counts = np.unique(sorted_x, return_counts=True)
+    c = counts.astype(np.float64)
+    return float((c * (c - 1.0) / 2.0).sum())
+
+
+def _kendall_tau_knight(pred, target) -> float:
+    """Kendall tau-b via Knight's O(n log n) algorithm: sort by (x, y),
+    count discordant pairs as inversions of the y sequence, correct for
+    ties. Matches ``scipy.stats.kendalltau`` without any [n,n] array."""
+    x = np.asarray(pred, np.float64).reshape(-1)
+    y = np.asarray(target, np.float64).reshape(-1)
+    n = x.shape[0]
+    if n < 2:
+        return 0.0
+    order = np.lexsort((y, x))  # primary x, secondary y
+    xs, ys = x[order], y[order]
+    n0 = n * (n - 1) / 2.0
+    tx = _tie_pair_count(xs)
+    ty = _tie_pair_count(np.sort(y))
+    # pairs tied in BOTH x and y: tie groups of the (x, y) tuples
+    both = xs + 1j * ys  # unique on complex pairs keeps (x,y) grouping
+    txy = _tie_pair_count(both[np.argsort(both)])
+    discordant = _count_inversions(ys)
+    c_minus_d = n0 - tx - ty + txy - 2.0 * discordant
+    denom = np.sqrt((n0 - tx) * (n0 - ty))
+    return float(c_minus_d / max(denom, _EPS))
+
+
+def kendall_tau(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Kendall tau-b, matching ``scipy.stats.kendalltau`` (evaluate.py:36).
+
+    Concrete inputs longer than ``_TAU_PAIRWISE_MAX`` take the host
+    O(n log n) Knight path; everything else (including any traced input)
+    takes the vectorized pairwise kernel.
+    """
+    x = jnp.asarray(pred)
+    if (
+        not isinstance(x, jax.core.Tracer)
+        and not isinstance(jnp.asarray(target), jax.core.Tracer)
+        and x.size > _TAU_PAIRWISE_MAX
+    ):
+        return jnp.float32(_kendall_tau_knight(np.asarray(pred), np.asarray(target)))
+    return _kendall_tau_pairwise(pred, target)
 
 
 def rank_correlations(pred, target) -> Dict[str, float]:

@@ -85,6 +85,66 @@ def test_segment_f1_empty_inputs():
     assert segment_f1([(0, 10)], []) == 0.0
 
 
+@pytest.mark.parametrize("n,ties", [(33, True), (257, True), (400, False)])
+def test_knight_tau_matches_pairwise_golden(n, ties):
+    """The O(n log n) Knight path vs the O(n^2) pairwise kernel (the
+    golden reference it replaces for long sequences)."""
+    from avsum_tpu.summary.metrics import (
+        _kendall_tau_knight,
+        _kendall_tau_pairwise,
+    )
+
+    rng = np.random.default_rng(n)
+    pred = rng.integers(0, 9, n).astype(np.float64) if ties else rng.random(n)
+    target = np.round(pred + rng.normal(size=n), 0 if ties else 12)
+    assert _kendall_tau_knight(pred, target) == pytest.approx(
+        float(_kendall_tau_pairwise(pred, target)), abs=1e-4
+    )
+    assert _kendall_tau_knight(pred, target) == pytest.approx(
+        kendalltau(pred, target).correlation, abs=1e-9
+    )
+
+
+def test_hour_scale_rank_metrics_no_pairwise_matrix():
+    """S=7168 (1 h @ 30 fps, 2 fps sampling — SURVEY §5.7): rank metrics
+    must run without materializing any [S,S] array (~200 MB each). The
+    dispatch threshold sends concrete long inputs down the Knight path;
+    scipy remains the oracle."""
+    from avsum_tpu.summary.metrics import _TAU_PAIRWISE_MAX
+
+    S = 7168
+    assert S > _TAU_PAIRWISE_MAX
+    rng = np.random.default_rng(42)
+    pred = rng.integers(0, 100, S).astype(np.float32)
+    target = (pred + rng.normal(size=S) * 30).astype(np.float32)
+    out = evaluate_scores(pred, target)
+    assert out["spearman"] == pytest.approx(
+        spearmanr(pred, target).correlation, abs=1e-4
+    )
+    assert out["kendall"] == pytest.approx(
+        kendalltau(pred, target).correlation, abs=1e-4
+    )
+
+
+def test_rank_metrics_still_jittable():
+    """Traced inputs must keep working under jit (pairwise tau path,
+    sort-based spearman)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    pred = np.round(rng.random(96), 1).astype(np.float32)
+    target = np.round(rng.random(96), 1).astype(np.float32)
+    f = jax.jit(lambda a, b: (spearman_rho(a, b), kendall_tau(a, b)))
+    rho, tau = f(jnp.asarray(pred), jnp.asarray(target))
+    assert float(rho) == pytest.approx(
+        spearmanr(pred, target).correlation, abs=1e-4
+    )
+    assert float(tau) == pytest.approx(
+        kendalltau(pred, target).correlation, abs=1e-4
+    )
+
+
 def test_evaluate_scores_bundle():
     rng = np.random.default_rng(7)
     pred = rng.random(80)
