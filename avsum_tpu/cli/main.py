@@ -243,6 +243,11 @@ def cmd_summarize(args) -> int:
     from avsum_tpu.pipeline import AVPipeline
 
     pipeline = AVPipeline(cfg)
+    if getattr(args, "programs", None):
+        from avsum_tpu.serve.aot import load_pipeline_programs
+
+        n = load_pipeline_programs(pipeline, args.programs)
+        log.info("AOT programs: installed %d from %s", n, args.programs)
     model = params = None
     if args.checkpoint:
         model, params = _load_scorer(cfg, args.checkpoint)
@@ -326,6 +331,7 @@ def cmd_serve(args) -> int:
             max_queue=args.max_queue,
             request_timeout_s=args.request_timeout,
             max_upload_mb=args.max_upload_mb,
+            programs_dir=args.programs or "",
         ),
         model=model,
         params=params,
@@ -367,6 +373,40 @@ def cmd_export(args) -> int:
     with open(args.output, "wb") as fh:
         fh.write(blob)
     log.info("wrote %s (%d bytes)", args.output, len(blob))
+    return 0
+
+
+def cmd_export_programs(args) -> int:
+    """AOT-export the expensive pipeline programs (embed + audio frontend)
+    so fresh processes skip trace/lower (and, where the PjRt plugin
+    supports executable serialization, the backend compile too). The
+    reference recompiles nothing because it has no compiler — its cost is
+    paid per frame forever (/root/reference/features/extractors.py:43-115);
+    ours is paid once here."""
+    cfg = _config(args)
+    from avsum_tpu.pipeline import AVPipeline
+    from avsum_tpu.serve.aot import export_pipeline_programs
+
+    pipeline = AVPipeline(cfg)
+    plane_shapes = None
+    if args.plane_shapes:
+        plane_shapes = []
+        for tok in args.plane_shapes.split(","):
+            h, w = tok.lower().split("x")
+            plane_shapes.append((int(h), int(w)))
+    wave_seconds = [float(t) for t in args.wave_seconds.split(",")]
+    manifest = export_pipeline_programs(
+        pipeline,
+        args.output,
+        plane_shapes=plane_shapes,
+        wave_seconds=wave_seconds,
+        platforms=tuple(args.platforms.split(",")),
+        mode=args.mode,
+    )
+    log.info(
+        "wrote %d program artifacts (mode=%s) -> %s",
+        len(manifest["programs"]), manifest["mode"], args.output,
+    )
     return 0
 
 
@@ -422,6 +462,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="also write the summary media to OUT_STEM.y4m/.wav, or to a "
         "single shareable mp4 (MJPEG + AAC) when OUT_STEM ends in .mp4",
     )
+    p.add_argument(
+        "--programs",
+        default=None,
+        metavar="DIR",
+        help="load AOT pipeline-program artifacts (avsum export-programs) "
+        "instead of compiling the embed/audio programs from scratch",
+    )
     p.set_defaults(fn=cmd_summarize)
 
     p = sub.add_parser(
@@ -476,6 +523,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="largest media body for POST /v1/summarize/upload "
         "(413 beyond; 0 disables the upload endpoint)",
     )
+    p.add_argument(
+        "--programs",
+        default=None,
+        metavar="DIR",
+        help="load AOT pipeline-program artifacts (avsum export-programs) "
+        "at startup — cuts cold-start compile time for fresh server "
+        "processes",
+    )
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
@@ -489,6 +544,36 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--platforms", default="cpu,tpu")
     p.add_argument("--random-init", action="store_true")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "export-programs",
+        help="AOT-export the expensive pipeline programs (dual-backbone "
+        "embed + audio front-end) as jax.export / serialized-executable "
+        "artifacts for fast fresh-process starts",
+    )
+    _add_common(p)
+    p.add_argument("--output", required=True, metavar="DIR")
+    p.add_argument(
+        "--plane-shapes",
+        default=None,
+        help="comma list of HxW shipped-plane shapes (default: the "
+        "config's ship bucket, e.g. 304x304)",
+    )
+    p.add_argument(
+        "--wave-seconds",
+        default="120",
+        help="comma list of media durations (s); each becomes a pow2 "
+        "waveform bucket artifact",
+    )
+    p.add_argument("--platforms", default="cpu,tpu")
+    p.add_argument(
+        "--mode",
+        default="auto",
+        choices=["auto", "stablehlo", "exec"],
+        help="exec = pickle the compiled executable (true warm start; "
+        "needs plugin support, probed when auto)",
+    )
+    p.set_defaults(fn=cmd_export_programs)
 
     args = parser.parse_args(argv)
     import os

@@ -68,6 +68,10 @@ class ServeConfig:
     # POST /v1/summarize/upload: largest accepted media body (413 beyond);
     # 0 disables the upload endpoint entirely
     max_upload_mb: int = 512
+    # directory of AOT pipeline-program artifacts (serve/aot.py): a fresh
+    # server process installs the serialized embed + audio programs
+    # instead of re-tracing/compiling them; "" disables
+    programs_dir: str = ""
 
 
 class _Request:
@@ -122,6 +126,14 @@ class SummarizeServer:
         self.config = config
         self.serve_config = serve_config
         self.pipeline = AVPipeline(config)
+        if serve_config.programs_dir:
+            from avsum_tpu.serve.aot import load_pipeline_programs
+
+            n = load_pipeline_programs(self.pipeline, serve_config.programs_dir)
+            log.info(
+                "AOT programs: installed %d from %s", n,
+                serve_config.programs_dir,
+            )
         self.model = model
         self.params = params
         self._queue: "queue.Queue[_Request]" = queue.Queue(

@@ -201,18 +201,27 @@ def embed_flops_per_frame(pipeline) -> float:
     return 19.6e9
 
 
-def warm_probe() -> None:
+def warm_probe(programs_dir: str = "") -> None:
     """Child-process mode: measure warmup in a FRESH process against the
-    same persistent compilation cache, print one JSON line, exit."""
+    same persistent compilation cache (and, with ``programs_dir``, the
+    AOT pipeline-program artifacts), print one JSON line, exit."""
     ensure_native()
     ensure_media()
     from avsum_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
     cfg, pipeline, model, params = build_pipeline()
+    n_aot = 0
+    if programs_dir:
+        from avsum_tpu.serve.aot import load_pipeline_programs
+
+        n_aot = load_pipeline_programs(pipeline, programs_dir)
     t0 = time.perf_counter()
     pipeline.summarize(STEM + ".y4m", model, params)
-    print(json.dumps({"warmup_s": round(time.perf_counter() - t0, 1)}))
+    print(json.dumps({
+        "warmup_s": round(time.perf_counter() - t0, 1),
+        "aot_programs": n_aot,
+    }))
 
 
 def main():
@@ -319,26 +328,61 @@ def main():
                 pipeline.config.visual, dedup_threshold=ded),
         )
 
-    # warm-start proof: a second process against the same compilation
-    # cache (skipped off-TPU where compile times are not the story)
-    warmup_warm = None
+    # warm-start proof, three rungs:
+    #   1. exec-serialization capability probe (can the plugin round-trip
+    #      a compiled executable? committed evidence either way)
+    #   2. AOT artifacts exported from THIS process (serve/aot.py), then a
+    #      fresh process loading them (skips trace+lower; skips backend
+    #      compile too when rung 1 passed)
+    #   3. the plain persistent-compile-cache fresh process (baseline)
+    from avsum_tpu.serve.aot import (
+        executable_serialization_supported,
+        export_pipeline_programs,
+    )
+
+    exec_ok, exec_detail = executable_serialization_supported()
+    log(f"executable serialization supported: {exec_ok} ({exec_detail})")
+
+    aot_dir = os.path.join(BENCH_DIR, "aot_programs")
+    aot_mode = None
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--warm-probe"],
-            capture_output=True,
-            text=True,
-            timeout=1800,
+        t0 = time.perf_counter()
+        manifest = export_pipeline_programs(
+            pipeline,
+            aot_dir,
+            wave_seconds=[float(SECONDS)],
+            platforms=("cpu", "tpu"),
+            mode="exec" if exec_ok else "stablehlo",
         )
-        for line in reversed(out.stdout.strip().splitlines()):
-            try:
-                warmup_warm = json.loads(line)["warmup_s"]
-                break
-            except (json.JSONDecodeError, KeyError):
-                continue
-        if warmup_warm is None:
-            log(f"warm probe failed: {out.stderr[-500:]}")
-    except Exception as e:  # noqa: BLE001
-        log(f"warm probe failed: {e}")
+        aot_mode = manifest["mode"]
+        log(f"AOT export ({aot_mode}): {len(manifest['programs'])} programs "
+            f"in {time.perf_counter() - t0:.1f}s")
+    except Exception as e:  # noqa: BLE001 — AOT is a warm-start rung, not the metric
+        log(f"AOT export failed: {e}")
+
+    def _fresh_warmup(extra, tag):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--warm-probe",
+                 *extra],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)["warmup_s"]
+                except (json.JSONDecodeError, KeyError):
+                    continue
+            log(f"{tag} probe failed: {out.stderr[-500:]}")
+        except Exception as e:  # noqa: BLE001
+            log(f"{tag} probe failed: {e}")
+        return None
+
+    warmup_warm_aot = (
+        _fresh_warmup(["--programs", aot_dir], "AOT warm") if aot_mode else None
+    )
+    warmup_warm = _fresh_warmup([], "warm")
 
     log(
         f"{n_frames} frames in {best:.2f}s -> {fps:.0f} eff fps; "
@@ -371,6 +415,12 @@ def main():
                 "mfu_lower_bound_pct": round(100 * mfu_lb, 2),
                 "warmup_cold_s": round(warmup_cold, 1),
                 "warmup_warm_s": warmup_warm,
+                "warmup_warm_aot_s": warmup_warm_aot,
+                "aot_mode": aot_mode,
+                "exec_serialization": {
+                    "supported": exec_ok,
+                    "detail": exec_detail,
+                },
                 "adaptive_fps": adaptive_fps,
                 "adaptive_identical_segments": adaptive_identical,
             }
@@ -380,6 +430,9 @@ def main():
 
 if __name__ == "__main__":
     if "--warm-probe" in sys.argv:
-        warm_probe()
+        progs = ""
+        if "--programs" in sys.argv:
+            progs = sys.argv[sys.argv.index("--programs") + 1]
+        warm_probe(progs)
     else:
         main()
