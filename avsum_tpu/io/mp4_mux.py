@@ -16,7 +16,7 @@ from typing import List, Optional
 import numpy as np
 
 __all__ = ["write_mjpeg_mp4", "write_pcm_mp4", "write_mp3_mp4",
-           "write_aac_mp4"]
+           "write_aac_mp4", "remux_video_with_aac"]
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
@@ -313,6 +313,149 @@ def _write_compressed_audio_mp4(
     )
     moov = _box(b"moov", mvhd + traks)
     with open(path, "wb") as fh:
+        fh.write(ftyp + mdat + moov)
+
+
+def remux_video_with_aac(
+    src_path: str,
+    out_path: str,
+    samples: np.ndarray,
+    rate: int = 16000,
+    bit_rate: int = 96000,
+) -> None:
+    """Copy ``src_path``'s video track VERBATIM (any codec — mp4v, H.264,
+    MJPEG, ...; no re-encode) into a new container and add an AAC-LC
+    audio track encoded from mono float32 ``samples``.
+
+    This produces the exact shape of real TVSum/SumMe dataset files —
+    one mp4 holding a compressed video track the native demuxer rejects
+    (``Mp4UnsupportedCodec`` -> cv2/ffmpeg fallback) plus an AAC 'mp4a'
+    track (-> bundled-ffmpeg audio fallback) — the container ingest the
+    reference fed to cv2/librosa (extractors.py:307-309, 364-386).
+    The video sample entry (stsd, including any esds/avcC decoder
+    config) is copied byte-for-byte; sample timing keeps the source's
+    stts verbatim.
+    """
+    import mmap as _mmap
+
+    from avsum_tpu.io.ffaudio import AAC_SAMPLES_PER_FRAME, encode_aac
+    from avsum_tpu.io.mp4 import (
+        Mp4Error,
+        Mp4NoVideoTrack,
+        _find,
+        _find_path,
+        _full_box,
+        _gather_samples,
+        _iter_boxes,
+        _parse_video_track,
+    )
+
+    with open(src_path, "rb") as fh:
+        buf = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+        try:
+            size = len(buf)
+            moov = _find(buf, 0, size, b"moov")
+            if moov is None:
+                raise Mp4Error(f"{src_path!r}: no moov box")
+            track = stbl = mdia = None
+            for t, s, e in _iter_boxes(buf, moov[0], moov[1]):
+                if t == b"trak":
+                    track = _parse_video_track(buf, s, e)
+                    if track is not None:
+                        mdia = _find(buf, s, e, b"mdia")
+                        stbl = _find_path(
+                            buf, mdia[0], mdia[1], [b"minf", b"stbl"]
+                        )
+                        break
+            if track is None:
+                raise Mp4NoVideoTrack(f"{src_path!r}: no video track")
+
+            # raw VisualSampleEntry (carries esds/avcC decoder config)
+            stsd = _find(buf, stbl[0], stbl[1], b"stsd")
+            _, _, pos = _full_box(buf, stsd[0])
+            pos += 4  # entry_count
+            entry_size = struct.unpack_from(">I", buf, pos)[0]
+            stsd_entry = bytes(buf[pos : pos + entry_size])
+
+            # source timing, verbatim
+            mdhd = _find(buf, mdia[0], mdia[1], b"mdhd")
+            ver, _, mpos = _full_box(buf, mdhd[0])
+            timescale = struct.unpack_from(
+                ">I", buf, mpos + (16 if ver == 1 else 8)
+            )[0]
+            stts = _find(buf, stbl[0], stbl[1], b"stts")
+            _, _, tpos = _full_box(buf, stts[0])
+            n_ent = struct.unpack_from(">I", buf, tpos)[0]
+            stts_payload = bytes(buf[tpos : tpos + 4 + 8 * n_ent])
+            ent = np.frombuffer(
+                stts_payload[4:], dtype=">u4"
+            ).reshape(n_ent, 2)
+            media_dur = int((ent[:, 0].astype(np.int64) * ent[:, 1]).sum())
+
+            # sync-sample table, verbatim (sample numbering is unchanged);
+            # dropping it would declare EVERY frame a keyframe and break
+            # seek-decode on inter-coded tracks (mp4v/H.264)
+            stss_box = b""
+            stss = _find(buf, stbl[0], stbl[1], b"stss")
+            if stss is not None:
+                _, _, spos = _full_box(buf, stss[0])
+                n_sync = struct.unpack_from(">I", buf, spos)[0]
+                stss_box = _full(
+                    b"stss", 0, 0, bytes(buf[spos : spos + 4 + 4 * n_sync])
+                )
+
+            video_bytes = _gather_samples(buf, track)
+            sizes_v = [int(s) for s in track.sample_sizes]
+        finally:
+            buf.close()
+
+    packets, asc = encode_aac(samples, rate, bit_rate=bit_rate)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", video_bytes + b"".join(packets))
+    video_base = len(ftyp) + 8
+    audio_base = video_base + len(video_bytes)
+
+    # video trak: copied sample entry + verbatim stts, samples re-laid
+    # out as one contiguous chunk
+    stsd_v = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+    stts_v = _full(b"stts", 0, 0, stts_payload)
+    stsc_v = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", 1) + struct.pack(">III", 1, len(sizes_v), 1),
+    )
+    stsz_v = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, len(sizes_v))
+        + b"".join(struct.pack(">I", s) for s in sizes_v),
+    )
+    stco_v = _full(b"stco", 0, 0, struct.pack(">II", 1, video_base))
+    stbl_v = _box(
+        b"stbl", stsd_v + stts_v + stsc_v + stsz_v + stco_v + stss_box
+    )
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    movie_dur_v = int(round(media_dur / max(timescale, 1) * 1000))
+    trak_v = _box(
+        b"trak",
+        _tkhd(1, movie_dur_v, width=track.width, height=track.height)
+        + _mdia(timescale, media_dur, b"vide", b"VideoHandler", vmhd, stbl_v),
+    )
+
+    trak_a = _mp4a_trak(
+        2, [len(p) for p in packets], 1, rate, AAC_SAMPLES_PER_FRAME,
+        audio_base, 0x40, asc,
+    )
+    n_audio_samples = len(packets) * AAC_SAMPLES_PER_FRAME
+    movie_dur = max(movie_dur_v, int(round(n_audio_samples / rate * 1000)))
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, movie_dur)
+        + struct.pack(">IH", 0x10000, 0x0100) + b"\x00" * 10
+        + _UNITY_MATRIX
+        + b"\x00" * 24 + struct.pack(">I", 3),
+    )
+    moov = _box(b"moov", mvhd + trak_v + trak_a)
+    with open(out_path, "wb") as fh:
         fh.write(ftyp + mdat + moov)
 
 
