@@ -178,7 +178,7 @@ def score_with_reference(model, example) -> np.ndarray:
 
 @dataclasses.dataclass
 class ParitySettings:
-    n_videos: int = 20
+    n_videos: int = 40
     # 16 scenes/video (round 3; was 10): with ~10 coarse shots the 15%
     # knapsack often has two near-equal-value but DISJOINT packings —
     # diagnosis on the old world found held-out videos where rho +0.96
@@ -198,7 +198,32 @@ class ParitySettings:
     # the REFERENCE across its own seeds is the noise floor any parity
     # delta must be read against (4 test videos/fold makes single-seed
     # fold F1 swing by tens of points)
-    n_seeds: int = 3
+    n_seeds: int = 5
+    # Polyak/EMA weight averaging for the avsum contenders
+    # (train.ema_decay; round-3 capability built FOR this harness —
+    # variance reduction so the CI half-width target below is reachable).
+    # The torch reference keeps its literal recipe (no EMA there,
+    # train_av_model.py:64-96).
+    ema_decay: float = 0.98
+    # World hardness (round 4): the round-3 world sat at canonical F1
+    # 0.82-0.87 — compressed dynamic range near the ceiling, so deltas
+    # shrank and seed noise dominated (VERDICT r3). Two knobs push the
+    # absolute F1 into the literature band (~0.55-0.70, BASELINE.md):
+    #   signal_alpha — fraction of a scene's true importance that is
+    #     content-predictable (brightness rank); the rest is a latent
+    #     rank NOT present in the pixels, capping what ANY model learns
+    #     (real "importance" is partly editorial, not visual);
+    #   scene_noise — per-(user, scene) disagreement sigma: users select
+    #     genuinely different scenes (per-frame noise averages out;
+    #     scene-level noise does not), capping per-user F1 agreement.
+    # Calibrated round 4 (8-video probe, oracle = scoring with the
+    # aligned mean-user targets themselves): alpha=0.85/noise=0.08 puts
+    # the protocol CEILING at canonical F1 ~0.68 (random ~0.13), so
+    # trained models land in the 0.55-0.70 literature band instead of
+    # 0.82+ at the old ceiling. Harsher settings sink the ceiling itself
+    # below the band (0.6/0.25 -> oracle 0.44).
+    signal_alpha: float = 0.85
+    scene_noise: float = 0.08
     # "tvsum" (20 noisy frame-score annotators, mean-user knapsack F1) or
     # "summe" (per-user binary ~15%-budget selections, max-over-users F1
     # — the reference's SumMe side, dataset.py:65-68 + gt_score targets)
@@ -242,12 +267,20 @@ def build_world(root: str, st: ParitySettings):
         write_y4m(stem + ".y4m", video, fps=30.0)
         write_wav(stem + ".wav", audio, 16000)
         total = scenes[-1][1]
-        # true importance = within-video brightness rank of the scene
+        # true importance = signal_alpha x brightness rank (content-
+        # predictable) + (1 - signal_alpha) x a latent rank that is NOT
+        # in the pixels (editorial preference; unlearnable by design —
+        # it lowers the achievable ceiling equally for every contender)
+        world_rng = np.random.default_rng(5000 + i)
         luma = np.asarray(
             [float(video[s:e].mean()) for (s, e) in scenes], np.float64
         )
-        ranks = np.argsort(np.argsort(luma))
-        imp = (ranks + 0.5) / len(scenes)
+        n_sc = len(scenes)
+        rank_luma = (np.argsort(np.argsort(luma)) + 0.5) / n_sc
+        rank_latent = (
+            np.argsort(np.argsort(world_rng.standard_normal(n_sc))) + 0.5
+        ) / n_sc
+        imp = st.signal_alpha * rank_luma + (1.0 - st.signal_alpha) * rank_latent
         scores = np.zeros(total, np.float32)
         for (start, end), w in zip(scenes, imp):
             scores[start:end] = w
@@ -257,7 +290,14 @@ def build_world(root: str, st: ParitySettings):
 
     if st.dataset == "tvsum":
         anno_path = os.path.join(root, "ydata.mat")
-        write_fake_tvsum_mat(anno_path, ids, frame_scores, seed=st.seed)
+        write_fake_tvsum_mat(
+            anno_path,
+            ids,
+            frame_scores,
+            seed=st.seed,
+            scene_lists=scene_lists,
+            scene_noise=st.scene_noise,
+        )
     elif st.dataset == "summe":
         anno_path = os.path.join(root, "GT")
         _write_summe_gt(anno_path, ids, frame_scores, scene_lists, st)
@@ -297,7 +337,7 @@ def _write_summe_gt(gt_dir, ids, frame_scores, scene_lists, st):
         scene_imp = np.asarray([gt[s] for (s, _) in scenes], np.float64)
         budget = 0.15 * total
         for u in range(st.n_users_summe):
-            noisy = scene_imp + rng.normal(0.0, 0.15, size=len(scenes))
+            noisy = scene_imp + rng.normal(0.0, st.scene_noise, size=len(scenes))
             taken = 0.0
             for j in np.argsort(-noisy):
                 start, end = scenes[j]
@@ -347,6 +387,7 @@ def train_avsum(
     max_shots: int,
     ckpt_dir: str,
     seed: int = 0,
+    ema_decay: float = 0.0,
 ):
     """Train AVScorer through the real Trainer on the shared examples."""
     from avsum_tpu.data.batching import batch_iterator
@@ -363,6 +404,7 @@ def train_avsum(
             f"train.epochs={cfg.train.epochs}",
             f"train.checkpoint_dir={ckpt_dir}",
             f"train.seed={seed}",
+            f"train.ema_decay={ema_decay}",
             "train.save_every_epochs=1000000",  # final state only
             "visual.dtype=float32",
         ]
@@ -466,6 +508,7 @@ def run_parity(root: str, st: ParitySettings) -> dict:
                     cfg, train_ex, encoder, max_shots,
                     os.path.join(root, f"ckpt_{encoder}_f{f_idx}_s{s}"),
                     seed=run_seed,
+                    ema_decay=st.ema_decay,
                 )
                 mean, per_vid = evaluate_model(
                     lambda ex: trainer.score_video(ex, max_shots),
@@ -495,7 +538,9 @@ def run_parity(root: str, st: ParitySettings) -> dict:
             f"(max over {st.n_users_summe} user summaries)"
         )
         + f", {st.n_folds}-fold CV x {st.n_seeds} seeds, "
-        "paired per-video deltas",
+        f"paired per-video deltas; avsum EMA decay {st.ema_decay}; "
+        f"world hardness: signal_alpha={st.signal_alpha}, "
+        f"scene_noise={st.scene_noise}",
         "wall_s": round(time.time() - t0, 1),
         "models": {},
     }
@@ -546,17 +591,21 @@ def run_parity(root: str, st: ParitySettings) -> dict:
     return result
 
 
-def _dataset_ok(models: dict) -> bool:
-    def ok(k):
-        r = models[k]
-        # parity holds if the paired mean delta is within tolerance /
-        # better, or the 95% CI on the paired delta includes 0 (the
-        # contenders are statistically indistinguishable on this protocol)
-        return (
-            r["paired_delta_pts"] >= -0.5 or r["paired_ci95_pts"][1] >= 0.0
-        )
+def _model_ok(r: dict) -> bool:
+    """Round-4 DECISIVE rule (VERDICT r3 item 2): the paired mean delta
+    must be >= -0.5 pts AND the 95% CI half-width must be <= 2 pts. The
+    round-3 rule ("CI includes 0") was satisfiable by sheer measurement
+    noise — a +-9 pt CI includes 0 for free; this one demands both a
+    non-inferior point estimate and the statistical power to mean it."""
+    ci = r["paired_ci95_pts"]
+    half_width = (ci[1] - ci[0]) / 2.0
+    return r["paired_delta_pts"] >= -0.5 and half_width <= 2.0
 
-    return all(ok(k) for k in ("avsum_bilstm", "avsum_attention"))
+
+def _dataset_ok(models: dict) -> bool:
+    return all(
+        _model_ok(models[k]) for k in ("avsum_bilstm", "avsum_attention")
+    )
 
 
 def write_reports(results, out_dir: str) -> None:
@@ -611,7 +660,7 @@ def write_reports(results, out_dir: str) -> None:
         "of a model's overall F1 across independent init/training seeds "
         "(the noise floor).",
         "",
-        f"Acceptance (paired Δ ≥ −0.5 pts, or 95% CI includes 0): "
+        f"Acceptance (paired Δ ≥ −0.5 pts AND 95% CI half-width ≤ 2 pts): "
         f"{'PASS' if all(verdicts) else 'FAIL'}"
         + (
             " ("

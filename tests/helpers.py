@@ -3,7 +3,14 @@
 import numpy as np
 
 
-def write_fake_tvsum_mat(path, video_ids, frame_scores_per_video, seed=0):
+def write_fake_tvsum_mat(
+    path,
+    video_ids,
+    frame_scores_per_video,
+    seed=0,
+    scene_lists=None,
+    scene_noise=0.0,
+):
     """Write a ydata-tvsum50.mat-shaped HDF5 file.
 
     Replicates the structure train_av_model.py:13-58 decodes: object-ref
@@ -12,6 +19,14 @@ def write_fake_tvsum_mat(path, video_ids, frame_scores_per_video, seed=0):
 
     frame_scores_per_video: list of [n_frames] base scores in [0, 1];
     the 20 users get noisy copies scaled to TVSum's 1-5 range.
+
+    ``scene_lists`` + ``scene_noise`` model real inter-annotator
+    DISAGREEMENT: each user perceives each scene's importance shifted by
+    an independent N(0, scene_noise) offset that is constant across the
+    scene's frames — unlike per-frame noise, it does not average out, so
+    users genuinely select different scenes (real TVSum's per-user
+    knapsack agreement ceiling). ``scene_lists[i]`` is ``[(start, end)]``
+    for video i.
     """
     import h5py
 
@@ -39,9 +54,13 @@ def write_fake_tvsum_mat(path, video_ids, frame_scores_per_video, seed=0):
         anno_refs = []
         for i, base in enumerate(frame_scores_per_video):
             base = np.asarray(base, np.float64)
-            users = np.clip(
-                base[None] + 0.08 * rng.standard_normal((20, len(base))), 0, 1
-            )
+            users = base[None] + 0.08 * rng.standard_normal((20, len(base)))
+            if scene_lists is not None and scene_noise > 0:
+                for start, end in scene_lists[i]:
+                    users[:, start:end] += scene_noise * rng.standard_normal(
+                        (20, 1)
+                    )
+            users = np.clip(users, 0, 1)
             scores = 1.0 + 4.0 * users  # TVSum 1-5 importance range
             ds = f.create_dataset(f"/refs/anno_{i}", data=scores)
             anno_refs.append(ds.ref)
