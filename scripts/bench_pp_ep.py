@@ -1,0 +1,214 @@
+"""Quality + throughput data points for the PP and EP configs.
+
+VERDICT r3 item 8: `configs/deep_pp.yaml` and `configs/moe_ep.yaml`
+train through the real Trainer in tests, but no recorded run showed the
+deep-PP or MoE encoder reaching flagship quality, nor a step-time
+comparison. This script trains all three on the SAME parity synthetic
+world (scripts/parity_reference.build_world — the calibrated
+literature-band-hardness world) on the 8-device virtual CPU mesh and
+records canonical F1 (fold-0 held-out videos, the canonical
+per-annotator knapsack protocol) plus steady-state step time.
+
+Virtual-CPU caveat stated up front: 8 virtual devices share one physical
+core, so ABSOLUTE step times mean little and RELATIVE ones carry the
+signal (a config that needs k x the FLOPs should cost ~k x; collective
+pathologies show up as far-worse-than-FLOPs ratios). Quality numbers are
+real — the protocol math does not care what device trained the weights.
+
+Run: python scripts/bench_pp_ep.py [--epochs 100] [--n-seeds 2]
+Writes PPEP_BENCH.json and prints one JSON line per (config, seed).
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def contenders():
+    """(name, model overrides, mesh overrides). All share hidden_dim=512,
+    the parity world's feature dims, batch_videos=8."""
+    return [
+        (
+            "flagship_attention",
+            ["model.temporal_encoder=attention", "model.temporal_layers=2"],
+            ["mesh.data=8", "mesh.seq=1", "mesh.model=1"],
+        ),
+        (
+            "deep_pp",  # configs/deep_pp.yaml: 12 blocks over 4 stages
+            [
+                "model.temporal_encoder=attention",
+                "model.temporal_layers=12",
+                "model.pp_stages=4",
+            ],
+            ["mesh.data=2", "mesh.seq=1", "mesh.model=4"],
+        ),
+        (
+            "moe_ep",  # configs/moe_ep.yaml: 8 experts over 4 devices
+            [
+                "model.temporal_encoder=moe",
+                "model.temporal_layers=2",
+                "model.moe_experts=8",
+                "model.moe_topk=2",
+            ],
+            ["mesh.data=2", "mesh.seq=1", "mesh.model=4"],
+        ),
+    ]
+
+
+def train_and_eval(cfg, name, model_ov, mesh_ov, train_ex, test_ex,
+                   canon_fn, max_shots, epochs, seed, work):
+    from avsum_tpu.data.batching import batch_iterator
+    from avsum_tpu.models import make_model
+    from avsum_tpu.train.config import load_config
+    from avsum_tpu.train.trainer import Trainer
+
+    from scripts.parity_reference import evaluate_model
+
+    run_cfg = load_config(
+        overrides=[
+            *model_ov,
+            *mesh_ov,
+            f"model.hidden_dim={cfg.model.hidden_dim}",
+            "model.num_heads=4",
+            f"data.max_shots={max_shots}",
+            "data.batch_videos=8",
+            f"train.epochs={epochs}",
+            f"train.checkpoint_dir={work}/ckpt_{name}_s{seed}",
+            f"train.seed={seed}",
+            "train.ema_decay=0.98",
+            "train.save_every_epochs=1000000",
+            "visual.dtype=float32",
+        ]
+    )
+    trainer = Trainer(make_model(run_cfg.model), run_cfg)
+
+    def batches(epoch=0):
+        return batch_iterator(
+            train_ex, batch_size=8, max_shots=max_shots, shuffle=True,
+            seed=seed + epoch,
+        )
+
+    steps_per_epoch = max(1, -(-len(train_ex) // 8))
+    # epoch 1 pays the compile; time the rest
+    t0 = time.perf_counter()
+    trainer.fit(batches, epochs=1)
+    warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    trainer.fit(batches, epochs=epochs - 1)
+    steady = time.perf_counter() - t0
+    step_ms = 1e3 * steady / ((epochs - 1) * steps_per_epoch)
+
+    mean, _ = evaluate_model(
+        lambda ex: trainer.score_video(ex, max_shots), test_ex, canon_fn
+    )
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(
+            trainer.state.params)
+    )
+    return {
+        "config": name,
+        "seed": seed,
+        "canonical_f1": round(mean["canonical_f1"], 4),
+        "keyframe_f1": round(mean["f1"], 4),
+        "spearman": round(mean["spearman"], 4),
+        "step_ms_virtual_cpu": round(step_ms, 1),
+        "warmup_s": round(warm_s, 1),
+        "n_params": n_params,
+        "mesh": {o.split("=")[0].split(".")[1]: int(o.split("=")[1])
+                 for o in mesh_ov},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--n-seeds", type=int, default=2)
+    ap.add_argument("--n-videos", type=int, default=20)
+    ap.add_argument("--out", default=os.path.join(REPO, "PPEP_BENCH.json"))
+    ap.add_argument("--work-dir", default=None)
+    args = ap.parse_args()
+
+    from scripts.parity_reference import ParitySettings, build_world
+    from avsum_tpu.data.datasets import load_tvsum_examples
+    from avsum_tpu.data.splits import create_kfold_splits
+    from avsum_tpu.data.tvsum import load_tvsum, tvsum_index
+    from avsum_tpu.summary.protocol import canonical_f1_tvsum
+
+    work = args.work_dir or tempfile.mkdtemp(prefix="ppep_")
+    st = ParitySettings(n_videos=args.n_videos, n_seeds=1)
+    cfg, cache, anno_path = build_world(os.path.join(work, "world"), st)
+    examples = {
+        ex.video_id: ex for ex in load_tvsum_examples(cache, anno_path)
+    }
+    anno = tvsum_index(load_tvsum(anno_path))
+
+    def canon_fn(ex, preds):
+        return canonical_f1_tvsum(
+            preds, ex.shot_boundaries, ex.n_frames,
+            anno[ex.video_id].user_scores, 0.15,
+        )
+
+    fold = create_kfold_splits(sorted(examples), 5, seed=0)[0]
+    train_ex = [examples[v] for v in fold["train"]]
+    test_ex = [examples[v] for v in fold["test"]]
+    max_shots = 1
+    while max_shots < max(ex.n_shots for ex in examples.values()):
+        max_shots *= 2
+
+    rows = []
+    for name, model_ov, mesh_ov in contenders():
+        for seed in range(args.n_seeds):
+            row = train_and_eval(
+                cfg, name, model_ov, mesh_ov, train_ex, test_ex, canon_fn,
+                max_shots, args.epochs, seed, work,
+            )
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    summary = {}
+    for name, _, _ in contenders():
+        rs = [r for r in rows if r["config"] == name]
+        summary[name] = {
+            "canonical_f1_mean": round(
+                float(np.mean([r["canonical_f1"] for r in rs])), 4),
+            "step_ms_virtual_cpu_median": round(
+                float(np.median([r["step_ms_virtual_cpu"] for r in rs])), 1),
+            "n_params": rs[0]["n_params"],
+            "mesh": rs[0]["mesh"],
+        }
+    out = {
+        "protocol": (
+            f"parity world (alpha={st.signal_alpha}, noise={st.scene_noise}"
+            f", {args.n_videos} videos), fold 0 of 5, {args.epochs} epochs, "
+            f"{args.n_seeds} seeds, canonical per-annotator knapsack F1; "
+            "step times on an 8-virtual-device CPU mesh (1 physical core: "
+            "relative, not absolute)"
+        ),
+        "rows": rows,
+        "summary": summary,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"summary": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,8 @@ def hbm_high_water(device) -> int:
         return 0
 
 
-def measure(mesh, model_cfg, train_cfg, seq_len: int, label: str, steps: int = 5):
+def measure(mesh, model_cfg, train_cfg, seq_len: int, label: str,
+            steps: int = 5, batch_videos: int = 1):
     import jax
     import numpy as np
 
@@ -55,15 +56,16 @@ def measure(mesh, model_cfg, train_cfg, seq_len: int, label: str, steps: int = 5
 
     model = make_model(model_cfg)
     rng = np.random.default_rng(0)
+    b = batch_videos
     batch = {
-        "visual": rng.standard_normal((1, seq_len, model_cfg.visual_dim)).astype(
+        "visual": rng.standard_normal((b, seq_len, model_cfg.visual_dim)).astype(
             np.float32
         ),
-        "audio": rng.standard_normal((1, seq_len, model_cfg.audio_dim)).astype(
+        "audio": rng.standard_normal((b, seq_len, model_cfg.audio_dim)).astype(
             np.float32
         ),
-        "targets": rng.random((1, seq_len)).astype(np.float32),
-        "mask": np.ones((1, seq_len), np.float32),
+        "targets": rng.random((b, seq_len)).astype(np.float32),
+        "mask": np.ones((b, seq_len), np.float32),
     }
     state = create_train_state(model, train_cfg, batch, total_steps=100)
     step = make_train_step(model, mesh, seed=0)
@@ -99,14 +101,87 @@ def measure(mesh, model_cfg, train_cfg, seq_len: int, label: str, steps: int = 5
     return result
 
 
+def scaling_tables(args) -> int:
+    """VERDICT r3 item 7: DP weak scaling + ring-SP strong scaling over
+    1/2/4/8 devices of the virtual CPU mesh. The 8 virtual devices share
+    ONE physical core, so the meaningful quantity is the ratio against
+    the compute-proportional expectation, not absolute step time:
+
+    - dp-weak: fixed per-device batch; total compute grows with N, so on
+      one core the linear-cost expectation is t_N ≈ N * t_1. The row
+      reports ``vs_linear_cpu = t_N / (N * t_1)`` — ~1.0 means the only
+      cost growth is the compute itself (collectives/resharding add
+      nothing pathological); >>1 is a reshard/collective pathology of
+      the kind that bit round 2 (48-145x on a 1-device NamedSharding).
+    - sp-strong: fixed TOTAL sequence 7168, ring-sharded N ways; total
+      compute is ~constant, so flat t_N is ideal and ``vs_flat_cpu =
+      t_N / t_1`` exposes ring/transpose overhead directly.
+    """
+    import jax
+
+    from avsum_tpu.parallel import MeshConfig, build_mesh
+    from avsum_tpu.train.config import ModelConfig, TrainConfig
+
+    train_cfg = TrainConfig(lr=1e-4, warmup_steps=5)
+    mc = ModelConfig(
+        hidden_dim=args.hidden, num_heads=4, temporal_layers=2,
+        remat=True, dtype="float32",
+    )
+    devs = jax.devices()
+    rows = []
+    if args.mode in ("dp-weak", "scaling"):
+        for n in (1, 2, 4, 8):
+            mesh = build_mesh(
+                MeshConfig(data=n, seq=1, model=1, auto_data=False),
+                devices=devs[:n],
+            )
+            rows.append(
+                (n, measure(mesh, mc, train_cfg, args.dp_seq,
+                            f"dp_weak_n{n}_b{n}x1", batch_videos=n))
+            )
+        t1 = rows[0][1]["step_ms"]
+        for n, r in rows:
+            r["vs_linear_cpu"] = round(r["step_ms"] / (n * t1), 2)
+            print(json.dumps({"dp_weak": {
+                "n_devices": n, "step_ms": r["step_ms"],
+                "vs_linear_cpu": r["vs_linear_cpu"]}}), flush=True)
+    if args.mode in ("sp-strong", "scaling"):
+        sp_rows = []
+        for n in (1, 2, 4, 8):
+            mesh = build_mesh(
+                MeshConfig(data=1, seq=n, model=1, auto_data=False),
+                devices=devs[:n],
+            )
+            sp_rows.append(
+                (n, measure(mesh, mc, train_cfg, args.seq,
+                            f"sp_strong_n{n}_S{args.seq}"))
+            )
+        t1 = sp_rows[0][1]["step_ms"]
+        for n, r in sp_rows:
+            r["vs_flat_cpu"] = round(r["step_ms"] / t1, 2)
+            print(json.dumps({"sp_strong": {
+                "n_devices": n, "step_ms": r["step_ms"],
+                "vs_flat_cpu": r["vs_flat_cpu"]}}), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--mode", default="chip", choices=("chip", "mesh", "both"))
+    ap.add_argument(
+        "--mode", default="chip",
+        choices=("chip", "mesh", "both", "dp-weak", "sp-strong", "scaling"),
+    )
     ap.add_argument("--seq", type=int, default=7168)
+    ap.add_argument(
+        "--dp-seq", type=int, default=1024,
+        help="per-video sequence length for the dp-weak rows (shorter "
+        "than --seq so the 8x total-compute row stays tractable on one "
+        "physical core)",
+    )
     ap.add_argument("--hidden", type=int, default=512)
     args = ap.parse_args(argv)
 
-    if args.mode in ("mesh", "both"):
+    if args.mode in ("mesh", "both", "dp-weak", "sp-strong", "scaling"):
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
@@ -115,8 +190,11 @@ def main(argv=None) -> int:
 
     import jax
 
-    if args.mode == "mesh":
+    if args.mode in ("mesh", "dp-weak", "sp-strong", "scaling"):
         jax.config.update("jax_platforms", "cpu")
+
+    if args.mode in ("dp-weak", "sp-strong", "scaling"):
+        return scaling_tables(args)
 
     from avsum_tpu.parallel import MeshConfig, build_mesh
     from avsum_tpu.train.config import ModelConfig, TrainConfig

@@ -1,0 +1,202 @@
+"""Sweep the dual-backbone embed program for device efficiency (MFU).
+
+VERDICT r3 item 4: the whole-run MFU lower bound is link-bound by design
+(~2.7%), but the embed *program* itself sat at ~21% and nobody attacked
+it. This script measures the program in isolation — input buffer already
+device-resident, output value read back so the axon plugin's async lie
+cannot fake the timing (memory: block_until_ready can return before
+compute under axon) — across:
+
+  - batch size (128 is the bench default; MXU occupancy grows with batch)
+  - resize dtype (the two bilinear resizes run in f32 today; doing them
+    in bf16 halves their HBM traffic at no accuracy cost the backbone
+    can see — the conv stack is bf16 anyway)
+
+Prints one JSON line per (variant, batch) with ms/frame and MFU, plus a
+final "best" line. The replaced loop is the reference's CPU micro-batch-4
+per-shot extraction (/root/reference/features/extractors.py:48-94).
+
+Run on the real chip:  python scripts/sweep_embed_mfu.py
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+V5E_BF16_PEAK = 1.97e14
+
+
+def build_fn(variant: str, batch: int, ship: int):
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from avsum_tpu.ops.color import yuv420_to_rgb_device
+    from avsum_tpu.vision.backbone import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        DualBackbone,
+        fast_init,
+    )
+    from avsum_tpu.vision.inception import InceptionV3
+    from avsum_tpu.vision.resnet import ResNet50
+
+    if variant == "resize_bf16":
+        # identical architecture, but /255 + normalize + resize in bf16
+        class DualBF16Resize(nn.Module):
+            dtype: jnp.dtype = jnp.bfloat16
+
+            @nn.compact
+            def __call__(self, frames, train: bool = False):
+                x = frames.astype(self.dtype) / jnp.asarray(255.0, self.dtype)
+                x = (x - IMAGENET_MEAN.astype(np.float32)) / IMAGENET_STD
+                x = x.astype(self.dtype)
+                b, h, w, c = x.shape
+
+                def rs(t, size):
+                    return jax.image.resize(
+                        t, (b, size, size, c), method="bilinear"
+                    )
+
+                r = ResNet50(dtype=self.dtype, name="resnet")(rs(x, 224), train)
+                i = InceptionV3(dtype=self.dtype, name="inception")(
+                    rs(x, 299), train
+                )
+                return jnp.concatenate([r, i], axis=-1)
+
+        model = DualBF16Resize()
+    else:
+        model = DualBackbone(dtype=jnp.bfloat16)
+
+    variables = fast_init(model, np.zeros((1, 224, 224, 3), np.float32))
+    variables = jax.device_put(variables)
+
+    def embed_packed(v, buf):
+        b, h, w = batch, ship, ship
+        ny = b * h * w
+        nc = b * (h // 2) * (w // 2)
+        y = buf[:ny].reshape(b, h, w)
+        u = buf[ny : ny + nc].reshape(b, h // 2, w // 2)
+        vv = buf[ny + nc : ny + 2 * nc].reshape(b, h // 2, w // 2)
+        r, g, bl = yuv420_to_rgb_device(y, u, vv)
+        frames = jnp.stack([r, g, bl], axis=-1)
+        return model.apply(v, frames, train=False)
+
+    return jax.jit(embed_packed), variables
+
+
+def measure(variant: str, batch: int, ship: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+
+    fn, variables = build_fn(variant, batch, ship)
+    rng = np.random.default_rng(0)
+    buf_len = batch * (ship * ship + 2 * (ship // 2) * (ship // 2))
+    buf = jax.device_put(
+        rng.integers(0, 256, size=buf_len, dtype=np.uint8)
+    )
+
+    t0 = time.perf_counter()
+    lowered = fn.lower(variables, buf)
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    if flops <= 0:
+        flops = 19.6e9 * batch  # analytic fallback
+
+    # warm + timed runs; a one-element readback per run forces real sync
+    out = compiled(variables, buf)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0][0, 0])
+    times = []
+    for _i in range(iters):
+        t0 = time.perf_counter()
+        out = compiled(variables, buf)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0][0, 0])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    mfu = flops / best / V5E_BF16_PEAK
+    row = {
+        "variant": variant,
+        "batch": batch,
+        "ms_per_frame": round(1e3 * best / batch, 3),
+        "batch_s": round(best, 4),
+        "gflops_per_frame": round(flops / batch / 1e9, 2),
+        "mfu_pct": round(100 * mfu, 1),
+        "compile_s": round(compile_s, 1),
+        "times_s": [round(t, 4) for t in times],
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-sizes", default="64,128,256,512")
+    ap.add_argument("--variants", default="base,resize_bf16")
+    ap.add_argument("--ship", type=int, default=304)
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+
+    # The tunnel backend can hang indefinitely in device discovery (round
+    # 3's judging-time probe hung >240 s). Probe it in a subprocess with a
+    # hard timeout + bounded retries so a down tunnel fails fast and loud
+    # instead of wedging the sweep.
+    import subprocess
+
+    for attempt in range(6):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend(), "
+                 "len(jax.devices()))"],
+                capture_output=True, text=True, timeout=180,
+            )
+            if probe.returncode == 0:
+                print(json.dumps({"probe": probe.stdout.strip()}),
+                      flush=True, file=sys.stderr)
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        print(json.dumps({"probe_retry": attempt}), flush=True,
+              file=sys.stderr)
+        time.sleep(min(60 * (attempt + 1), 240))
+    else:
+        print(json.dumps({"error": "backend unreachable after retries"}),
+              flush=True)
+        return
+    rows = []
+    for variant in args.variants.split(","):
+        for b in (int(x) for x in args.batch_sizes.split(",")):
+            try:
+                rows.append(measure(variant, b, args.ship, args.iters))
+            except Exception as e:  # noqa: BLE001 — OOM at large batch etc.
+                print(
+                    json.dumps(
+                        {
+                            "variant": variant,
+                            "batch": b,
+                            "error": f"{type(e).__name__}: {str(e)[:200]}",
+                        }
+                    ),
+                    flush=True,
+                )
+    if rows:
+        best = max(rows, key=lambda r: r["mfu_pct"])
+        print(json.dumps({"best": best}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
