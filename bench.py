@@ -57,8 +57,47 @@ def _is_transient_backend_error(e: BaseException) -> bool:
             "backend setup/compile error",
             "Socket closed",
             "Connection reset",
+            "backend probe timed out",
         )
     )
+
+
+def wait_for_backend(total_budget_s: float = 1500.0) -> bool:
+    """Wait until the backend answers a *subprocess* probe.
+
+    The tunnel's second failure mode (beyond raising UNAVAILABLE) is
+    HANGING in device discovery — round 3's judge probe sat >240 s and
+    a round-4 probe hit the same. A hang in-process would leave the
+    driver with a timeout instead of a diagnostic JSON line, so the
+    first contact happens in a child with a hard timeout; we only let
+    this process dial the plugin once a child has come back alive.
+    """
+    import subprocess
+
+    deadline = time.monotonic() + total_budget_s
+    attempt = 0
+    while True:
+        t0 = time.monotonic()
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=240,
+            )
+            if probe.returncode == 0:
+                log(f"backend probe ok: {probe.stdout.strip()}")
+                return True
+            log(f"backend probe rc={probe.returncode}: "
+                f"{probe.stderr.strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe timed out (attempt {attempt})")
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        time.sleep(min(max(30.0, 30.0 * attempt), remaining, 180.0))
+        # don't let one slow-but-successful probe eat the whole budget
+        del t0
 
 
 def _reset_jax_backends():

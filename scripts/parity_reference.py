@@ -525,6 +525,21 @@ def run_parity(root: str, st: ParitySettings) -> dict:
                 ),
                 flush=True,
             )
+            # Incremental raw dump so a killed run (the host dies on API
+            # weather regularly) still leaves analyzable per-video data.
+            with open(os.path.join(root, "progress.json"), "w") as fh:
+                json.dump(
+                    {
+                        "done_through": [f_idx, s],
+                        "video_f1": video_f1,
+                        "fold_canonical": {
+                            k: [[m["canonical_f1"] for m in fold_means[k][ss]]
+                                for ss in range(st.n_seeds)]
+                            for k in keys
+                        },
+                    },
+                    fh,
+                )
 
     vids = sorted(examples)
     result = {
