@@ -274,6 +274,13 @@ def main():
     from avsum_tpu.utils.profiling import collect_stages
 
     cache_dir = enable_compilation_cache()
+    if not wait_for_backend():
+        emit_error_json(
+            "backend_probe",
+            TimeoutError("backend probe timed out: no subprocess could "
+                         "initialize the backend within the retry budget"),
+        )
+        return
     try:
         backend = with_backend_retry(jax.default_backend, "backend init")
         log(f"backend: {backend} devices: {jax.devices()}")
