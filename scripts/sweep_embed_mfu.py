@@ -70,6 +70,31 @@ def build_fn(variant: str, batch: int, ship: int):
                 return jnp.concatenate([r, i], axis=-1)
 
         model = DualBF16Resize()
+    elif variant in ("resnet_only", "inception_only"):
+        # single-backbone halves: locate which of the two dominates the
+        # dual program's device time (they differ in spatial dims, conv
+        # shapes, and padding behavior on the 8x128 tiling)
+        class OneBackbone(nn.Module):
+            which: str
+            dtype: jnp.dtype = jnp.bfloat16
+
+            @nn.compact
+            def __call__(self, frames, train: bool = False):
+                x = frames.astype(jnp.float32) / 255.0
+                x = (x - IMAGENET_MEAN.astype(np.float32)) / IMAGENET_STD
+                x = x.astype(self.dtype)
+                b, h, w, c = x.shape
+                if self.which == "resnet_only":
+                    x = jax.image.resize(
+                        x, (b, 224, 224, c), method="bilinear"
+                    )
+                    return ResNet50(dtype=self.dtype, name="resnet")(x, train)
+                x = jax.image.resize(x, (b, 299, 299, c), method="bilinear")
+                return InceptionV3(dtype=self.dtype, name="inception")(
+                    x, train
+                )
+
+        model = OneBackbone(which=variant)
     else:
         model = DualBackbone(dtype=jnp.bfloat16)
 
@@ -142,8 +167,14 @@ def measure(variant: str, batch: int, ship: int, iters: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch-sizes", default="64,128,256,512")
-    ap.add_argument("--variants", default="base,resize_bf16")
+    ap.add_argument(
+        "--plan",
+        default="base:64,128,256,512;resize_bf16:128,256;"
+        "resnet_only:128;inception_only:128",
+        help="semicolon-separated variant:batch,batch,... pairs — kept "
+        "small on purpose (every cell is a fresh compile through the "
+        "tunnel, 80-800s each when the server cache misses)",
+    )
     ap.add_argument("--ship", type=int, default=304)
     ap.add_argument("--iters", type=int, default=6)
     args = ap.parse_args()
@@ -178,8 +209,12 @@ def main():
               flush=True)
         return
     rows = []
-    for variant in args.variants.split(","):
-        for b in (int(x) for x in args.batch_sizes.split(",")):
+    plan = [
+        (v, [int(x) for x in bs.split(",")])
+        for v, bs in (item.split(":") for item in args.plan.split(";"))
+    ]
+    for variant, batches in plan:
+        for b in batches:
             try:
                 rows.append(measure(variant, b, args.ship, args.iters))
             except Exception as e:  # noqa: BLE001 — OOM at large batch etc.
