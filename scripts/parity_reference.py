@@ -424,7 +424,7 @@ def train_avsum(
     return trainer
 
 
-def run_parity(root: str, st: ParitySettings) -> dict:
+def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
     from avsum_tpu.data.datasets import (
         load_summe_examples,
         load_tvsum_examples,
@@ -481,13 +481,18 @@ def run_parity(root: str, st: ParitySettings) -> dict:
     # fold_means[key][s] -> list of fold-mean dicts; video_f1[key][s][vid]
     fold_means = {k: [[] for _ in range(st.n_seeds)] for k in keys}
     video_f1 = {k: [{} for _ in range(st.n_seeds)] for k in keys}
-    for f_idx, fold in enumerate(folds):
-        train_ex = [examples[v] for v in fold["train"]]
-        test_ex = [examples[v] for v in fold["test"]]
-        dv = train_ex[0].visual.shape[-1]
-        da = train_ex[0].audio.shape[-1]
-
-        for s in range(st.n_seeds):
+    vids = sorted(examples)
+    # SEED-OUTER iteration: one complete pass over all folds per seed, so
+    # every finished seed is a full 5-fold dataset — the report is
+    # recomputed (and re-written via report_cb) after each, and a run
+    # killed at hour N still leaves a complete, statistically valid
+    # N-seed result instead of an unfinishable fold-major triangle.
+    for s in range(st.n_seeds):
+        for f_idx, fold in enumerate(folds):
+            train_ex = [examples[v] for v in fold["train"]]
+            test_ex = [examples[v] for v in fold["test"]]
+            dv = train_ex[0].visual.shape[-1]
+            da = train_ex[0].audio.shape[-1]
             run_seed = st.seed + 1000 * s + f_idx
             torch.manual_seed(run_seed)  # model INIT, not just the loop
             ref = build_reference_model(dv, da, st.hidden_dim)
@@ -540,11 +545,21 @@ def run_parity(root: str, st: ParitySettings) -> dict:
                     },
                     fh,
                 )
+        if report_cb is not None:
+            # seed s complete across all folds -> a full, valid
+            # (s+1)-seed result; re-write the reports now
+            report_cb(_summarize(st, s + 1, fold_means, video_f1, vids, t0))
 
-    vids = sorted(examples)
+    return _summarize(st, st.n_seeds, fold_means, video_f1, vids, t0)
+
+
+def _summarize(st, n_done, fold_means, video_f1, vids, t0) -> dict:
+    """Stats over the first ``n_done`` COMPLETE seeds (all folds run)."""
+    keys = tuple(fold_means)
     result = {
         "settings": dataclasses.asdict(st),
         "dataset": st.dataset,
+        "seeds_done": n_done,
         "protocol": (
             "synthetic TVSum, canonical per-annotator knapsack F1 "
             "(mean over 20 users)"
@@ -552,7 +567,7 @@ def run_parity(root: str, st: ParitySettings) -> dict:
             else "synthetic SumMe, canonical knapsack F1 "
             f"(max over {st.n_users_summe} user summaries)"
         )
-        + f", {st.n_folds}-fold CV x {st.n_seeds} seeds, "
+        + f", {st.n_folds}-fold CV x {n_done} seeds, "
         f"paired per-video deltas; avsum EMA decay {st.ema_decay}; "
         f"world hardness: signal_alpha={st.signal_alpha}, "
         f"scene_noise={st.scene_noise}",
@@ -563,7 +578,7 @@ def run_parity(root: str, st: ParitySettings) -> dict:
     # held-out videos (every video is a test video in exactly one fold)
     seed_avg = {
         k: np.asarray(
-            [np.mean([video_f1[k][s][v] for s in range(st.n_seeds)])
+            [np.mean([video_f1[k][s][v] for s in range(n_done)])
              for v in vids]
         )
         for k in keys
@@ -571,11 +586,11 @@ def run_parity(root: str, st: ParitySettings) -> dict:
     for key in keys:
         per_seed_means = [
             float(np.mean([f["canonical_f1"] for f in fold_means[key][s]]))
-            for s in range(st.n_seeds)
+            for s in range(n_done)
         ]
         result["models"][key] = {
             m: float(
-                np.mean([f[m] for s in range(st.n_seeds)
+                np.mean([f[m] for s in range(n_done)
                          for f in fold_means[key][s]])
             )
             for m in fold_means[key][0][0]
@@ -728,7 +743,12 @@ def main(argv=None) -> int:
     results = []
     for name in names:
         ds_st = dataclasses.replace(st, dataset=name)
-        results.append(run_parity(os.path.join(work, name), ds_st))
+        results.append(run_parity(
+            os.path.join(work, name), ds_st,
+            # re-write reports after EVERY completed seed so a killed
+            # multi-hour run still leaves a complete n-seed report
+            report_cb=lambda r: write_reports(results + [r], args.out_dir),
+        ))
         write_reports(results, args.out_dir)  # checkpoint after each
     print(
         json.dumps(
