@@ -137,7 +137,8 @@ def scaling_tables(args) -> int:
             )
             rows.append(
                 (n, measure(mesh, mc, train_cfg, args.dp_seq,
-                            f"dp_weak_n{n}_b{n}x1", batch_videos=n))
+                            f"dp_weak_n{n}_b{n}x1", steps=args.steps,
+                            batch_videos=n))
             )
         t1 = rows[0][1]["step_ms"]
         for n, r in rows:
@@ -154,7 +155,8 @@ def scaling_tables(args) -> int:
             )
             sp_rows.append(
                 (n, measure(mesh, mc, train_cfg, args.seq,
-                            f"sp_strong_n{n}_S{args.seq}"))
+                            f"sp_strong_n{n}_S{args.seq}",
+                            steps=args.steps))
             )
         t1 = sp_rows[0][1]["step_ms"]
         for n, r in sp_rows:
@@ -179,6 +181,11 @@ def main(argv=None) -> int:
         "physical core)",
     )
     ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument(
+        "--steps", type=int, default=5,
+        help="timed steps per row (lower it for the 1-core sp-strong "
+        "rows, where one S=7168 step costs minutes)",
+    )
     args = ap.parse_args(argv)
 
     if args.mode in ("mesh", "both", "dp-weak", "sp-strong", "scaling"):
