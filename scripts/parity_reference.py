@@ -618,24 +618,66 @@ def _summarize(st, n_done, fold_means, video_f1, vids, t0) -> dict:
             round(100.0 * (float(np.mean(diffs)) - 1.96 * se), 2),
             round(100.0 * (float(np.mean(diffs)) + 1.96 * se), 2),
         ]
+        # Variance decomposition + power diagnostics. The canonical
+        # knapsack F1 is DISCRETE per video: a tiny score difference can
+        # flip which of two near-equal-value disjoint packings wins
+        # (PARITY_PROCEDURE.md §6.2), producing ±10-70 pt per-video
+        # deltas in both directions. These flips, not seed noise, bound
+        # the CI at fixed n_videos — quantified so a power FAIL is
+        # attributable rather than mysterious.
+        per_seed_delta = [
+            100.0 * float(np.mean(
+                [video_f1[key][s][v] - video_f1["reference_torch_bilstm"][s][v]
+                 for v in vids]
+            ))
+            for s in range(n_done)
+        ]
+        r["per_seed_paired_delta_pts"] = [round(d, 2) for d in per_seed_delta]
+        davg = 100.0 * diffs
+        r["videos_abs_delta_gt10"] = int((np.abs(davg) > 10.0).sum())
+        sd = float(np.std(davg, ddof=1))
+        r["videos_needed_for_ci2pts"] = int(np.ceil((1.96 * sd / 2.0) ** 2))
+        # one-sided noninferiority: P(mean paired delta >= -0.5) under a
+        # 10k-resample paired bootstrap of the seed-averaged deltas
+        rng = np.random.default_rng(0)
+        boot = rng.choice(davg, size=(10_000, len(davg)), replace=True)
+        r["p_noninferior_bootstrap"] = round(
+            float((boot.mean(axis=1) >= -0.5).mean()), 4
+        )
     return result
 
 
-def _model_ok(r: dict) -> bool:
+def _model_verdict(r: dict) -> str:
     """Round-4 DECISIVE rule (VERDICT r3 item 2): the paired mean delta
     must be >= -0.5 pts AND the 95% CI half-width must be <= 2 pts. The
     round-3 rule ("CI includes 0") was satisfiable by sheer measurement
     noise — a +-9 pt CI includes 0 for free; this one demands both a
-    non-inferior point estimate and the statistical power to mean it."""
+    non-inferior point estimate and the statistical power to mean it.
+
+    Three-valued so a power shortfall is reported as what it is:
+      PASS            — noninferior point estimate AND half-width <= 2
+      FAIL-POWER      — noninferior point estimate, CI too wide; the
+                        variance-decomposition fields say why and what
+                        n_videos the rule would need
+      FAIL-INFERIOR   — the point estimate itself is below -0.5 pts
+    """
     ci = r["paired_ci95_pts"]
     half_width = (ci[1] - ci[0]) / 2.0
-    return r["paired_delta_pts"] >= -0.5 and half_width <= 2.0
+    if r["paired_delta_pts"] < -0.5:
+        return "FAIL-INFERIOR"
+    return "PASS" if half_width <= 2.0 else "FAIL-POWER"
 
 
-def _dataset_ok(models: dict) -> bool:
-    return all(
-        _model_ok(models[k]) for k in ("avsum_bilstm", "avsum_attention")
-    )
+def _dataset_verdict(models: dict) -> str:
+    vs = [
+        _model_verdict(models[k])
+        for k in ("avsum_bilstm", "avsum_attention")
+    ]
+    if any(v == "FAIL-INFERIOR" for v in vs):
+        return "FAIL-INFERIOR"
+    if any(v == "FAIL-POWER" for v in vs):
+        return "FAIL-POWER"
+    return "PASS"
 
 
 def write_reports(results, out_dir: str) -> None:
@@ -681,7 +723,22 @@ def write_reports(results, out_dir: str) -> None:
                 f"{r.get('seed_std_pts', '—')} | "
                 f"{r['f1']:.4f} | {r['spearman']:.4f} | {r['kendall']:.4f} |"
             )
-        verdicts.append(_dataset_ok(m))
+        for key in ("avsum_bilstm", "avsum_attention"):
+            r = m[key]
+            if "per_seed_paired_delta_pts" not in r:
+                continue
+            lines += [
+                "",
+                f"`{key}` paired-delta diagnostics: per-seed overall Δ = "
+                f"{r['per_seed_paired_delta_pts']} pts; "
+                f"{r['videos_abs_delta_gt10']}/"
+                f"{result['settings']['n_videos']} videos with |Δ|>10 pts "
+                "(knapsack packing flips, both directions); CI ≤ ±2 pts "
+                f"would need ~{r['videos_needed_for_ci2pts']} videos at "
+                "this per-video σ; bootstrap P(mean Δ ≥ −0.5) = "
+                f"{r['p_noninferior_bootstrap']}.",
+            ]
+        verdicts.append(_dataset_verdict(m))
     lines += [
         "",
         "Paired Δ = mean over held-out videos of (avsum − reference) "
@@ -691,18 +748,24 @@ def write_reports(results, out_dir: str) -> None:
         "(the noise floor).",
         "",
         f"Acceptance (paired Δ ≥ −0.5 pts AND 95% CI half-width ≤ 2 pts): "
-        f"{'PASS' if all(verdicts) else 'FAIL'}"
+        f"{verdicts[0] if len(verdicts) == 1 else ''}"
         + (
-            " ("
-            + ", ".join(
-                f"{r.get('dataset', 'tvsum')}: "
-                f"{'PASS' if v else 'FAIL'}"
+            ", ".join(
+                f"{r.get('dataset', 'tvsum')}: {v}"
                 for r, v in zip(results, verdicts)
             )
-            + ")"
             if len(results) > 1
             else ""
         ),
+        "",
+        "FAIL-POWER means the point estimate is noninferior but the CI "
+        "half-width exceeds 2 pts for a quantified metric-intrinsic "
+        "reason: per-video canonical F1 is discrete under the knapsack "
+        "(near-equal disjoint packings flip on tiny score changes, "
+        "PARITY_PROCEDURE.md §6.2), so once seed noise is suppressed "
+        "(seed σ ~1 pt with EMA) the residual per-video σ of 15-25 pts "
+        "bounds the CI at any feasible n_videos; the diagnostics lines "
+        "give the exact n the rule would need.",
         "",
         "Caveats: synthetic media and random-weight encoders on BOTH sides "
         "(pretrained ports remain the offline step, docs/PARITY_RUNBOOK.md); "
