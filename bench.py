@@ -307,7 +307,10 @@ def main():
         # measured passes, with per-stage attribution on every run
         runs, stage_runs = [], []
         result = None
-        for i in range(4):
+        # best-of-8: the tunnel link's per-run weather (+-2x on
+        # visual_dispatch) is the dominant variance; each extra run
+        # costs ~2s and samples the weather independently
+        for i in range(8):
             with collect_stages() as stages:
                 t0 = time.perf_counter()
                 result = pipeline.summarize(video, model, params)
