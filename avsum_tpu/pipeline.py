@@ -480,9 +480,13 @@ class AVPipeline:
                 for i in range(0, len(frame_idx), bs):
                     if packed:
                         # C++ writes the resized planes straight into the
-                        # single-transfer packed layout — no host repack
+                        # single-transfer packed layout — no host repack.
+                        # The tail block packs (and ships) only its
+                        # power-of-two bucket, not the full batch.
+                        idx_blk = frame_idx[i : i + bs]
+                        bkt = self.visual.tail_bucket(len(idx_blk))
                         buf = reader.read_yuv420_packed(
-                            frame_idx[i : i + bs], ship, ship, bs
+                            idx_blk, ship, ship, bkt
                         )
                         pending.append(
                             self.visual.dispatch_packed(buf, ship, ship)

@@ -87,13 +87,14 @@ def _shapes_of(tree):
     )
 
 
-def _embed_packed_fn(pipeline, h: int, w: int):
+def _embed_packed_fn(pipeline, h: int, w: int, bs: Optional[int] = None):
     """The packed-plane embed program as fn(variables, buf) — weights stay
     call-time arguments (they're already device-resident in the live
     pipeline, and baking them in would embed ~200 MB of constants that
-    serialize_executable refuses outright)."""
+    serialize_executable refuses outright). ``bs`` defaults to the full
+    embed batch; smaller values export the tail-bucket programs."""
     frontend = pipeline.visual
-    bs = frontend.batch_size
+    bs = bs or frontend.batch_size
 
     def fn(variables, buf):
         ny = bs * h * w
@@ -184,15 +185,27 @@ def export_pipeline_programs(
         "init_seed": 0,
         "programs": [],
     }
+    # full embed batch + the power-of-two tail buckets the dispatch path
+    # can emit (vision/backbone.py::tail_bucket) — a partial last block
+    # must hit an artifact too, or a fresh process pays one tunnel
+    # compile per tail shape it meets
+    frontend = pipeline.visual
+    batches = [frontend.batch_size]
+    b = frontend.batch_size
+    while b // 2 >= frontend.MIN_BUCKET:
+        b //= 2
+        batches.append(b)
     for h, w in plane_shapes:
-        fn, args = _embed_packed_fn(pipeline, h, w)
-        blob, actual = _export_one(fn, args, mode, platforms)
-        name = f"embed_{h}x{w}_b{pipeline.visual.batch_size}.{actual}"
-        with open(os.path.join(out_dir, name), "wb") as f:
-            f.write(blob)
-        manifest["programs"].append(
-            {"kind": "embed", "h": h, "w": w, "file": name, "mode": actual}
-        )
+        for bs in batches:
+            fn, args = _embed_packed_fn(pipeline, h, w, bs)
+            blob, actual = _export_one(fn, args, mode, platforms)
+            name = f"embed_{h}x{w}_b{bs}.{actual}"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(blob)
+            manifest["programs"].append(
+                {"kind": "embed", "h": h, "w": w, "b": bs, "file": name,
+                 "mode": actual}
+            )
     for t in buckets:
         fn, args = _audio_full_fn(pipeline, t)
         blob, actual = _export_one(fn, args, mode, platforms)
@@ -243,7 +256,7 @@ def load_pipeline_programs(pipeline, art_dir: str, strict: bool = False) -> int:
     if manifest.get("batch_size") != pipeline.visual.batch_size:
         return 0
 
-    embeds: Dict[Tuple[int, int], object] = {}
+    embeds: Dict[Tuple[int, int, int], object] = {}
     audios: Dict[int, object] = {}
     for p in manifest["programs"]:
         path = os.path.join(art_dir, p["file"])
@@ -254,7 +267,8 @@ def load_pipeline_programs(pipeline, art_dir: str, strict: bool = False) -> int:
         except Exception:  # noqa: BLE001 — artifact of a foreign backend
             continue
         if p["kind"] == "embed":
-            embeds[(p["h"], p["w"])] = call
+            # "b" absent in pre-tail-bucket manifests -> the full batch
+            embeds[(p["h"], p["w"], p.get("b", manifest["batch_size"]))] = call
         elif p["kind"] == "audio":
             audios[p["t"]] = call
     n = len(embeds) + len(audios)
@@ -264,12 +278,12 @@ def load_pipeline_programs(pipeline, art_dir: str, strict: bool = False) -> int:
     if embeds:
         frontend = pipeline.visual
         orig_embed = frontend._embed_packed
-        bs = frontend.batch_size
 
         def embed_packed(variables, buf, h, w):
-            call = embeds.get((h, w))
-            expect = bs * (h * w + 2 * (h // 2) * (w // 2))
-            if call is not None and tuple(buf.shape) == (expect,):
+            per = h * w + 2 * (h // 2) * (w // 2)
+            b = buf.shape[0] // per if getattr(buf, "ndim", 1) == 1 else -1
+            call = embeds.get((h, w, b))
+            if call is not None and tuple(buf.shape) == (b * per,):
                 return call(variables, jnp.asarray(buf, jnp.uint8))
             if strict:
                 raise RuntimeError(

@@ -99,6 +99,11 @@ class VisualFeatConfig:
     # vit_b_16 layout — the one the offline weight port targets)
     vit_variant: str = "s16"
     dtype: str = "bfloat16"
+    # embed-program jit batch (frames per device dispatch). 256 is the
+    # measured MXU-occupancy sweet spot for the dual backbone on v5e with
+    # bf16 preprocessing (0.375 ms/frame, 26.5% MFU, vs 0.467 at 128 —
+    # scripts/sweep_embed_mfu.py); larger batches regress on HBM layout.
+    batch_size: int = 256
 
 
 @dataclass(frozen=True)

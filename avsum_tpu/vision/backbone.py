@@ -47,31 +47,51 @@ class TinyBackbone(nn.Module):
         return nn.Dense(self.out_dim, dtype=jnp.float32)(x)
 
 
+def normalize_frames(frames: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, H, W, 3] RGB (uint8 or [0,255] float) -> /255 + ImageNet
+    mean/std, computed in ``dtype``. Normalizing BEFORE the resize is
+    mathematically identical (a per-channel affine map commutes with
+    bilinear interpolation, whose weights sum to 1) but lets the resize
+    run in bf16 — half the HBM traffic on the embed program's biggest
+    non-conv op (measured: 21.2% -> 26.5% embed MFU at batch 256,
+    scripts/sweep_embed_mfu.py)."""
+    x = frames.astype(dtype) / jnp.asarray(255.0, dtype)
+    x = x - IMAGENET_MEAN.astype(np.float32)
+    x = x / IMAGENET_STD
+    return x.astype(dtype)
+
+
 def preprocess_frames(
     frames: jnp.ndarray, size: int, dtype=jnp.float32
 ) -> jnp.ndarray:
     """[B, H, W, 3] RGB (uint8 or [0,255] float) -> normalized [B,size,size,3]."""
-    x = frames.astype(jnp.float32)
+    x = normalize_frames(frames, dtype)
     b, h, w, c = x.shape
     if (h, w) != (size, size):
         x = jax.image.resize(x, (b, size, size, c), method="bilinear")
-    x = x / 255.0
-    x = (x - IMAGENET_MEAN) / IMAGENET_STD
-    return x.astype(dtype)
+    return x
 
 
 class DualBackbone(nn.Module):
     """ResNet50 ‖ InceptionV3 -> [B, 4096] (the visual feature contract,
-    extractors.py:108-110)."""
+    extractors.py:108-110). Normalization runs ONCE at the shipped
+    resolution and the two per-backbone resizes run in ``dtype`` (see
+    normalize_frames for why that's exact and faster)."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, frames: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        r_in = preprocess_frames(frames, 224, self.dtype)
-        i_in = preprocess_frames(frames, 299, self.dtype)
-        r = ResNet50(dtype=self.dtype, name="resnet")(r_in, train)
-        i = InceptionV3(dtype=self.dtype, name="inception")(i_in, train)
+        x = normalize_frames(frames, self.dtype)
+        b, h, w, c = x.shape
+
+        def rs(t, size):
+            if (h, w) == (size, size):
+                return t
+            return jax.image.resize(t, (b, size, size, c), method="bilinear")
+
+        r = ResNet50(dtype=self.dtype, name="resnet")(rs(x, 224), train)
+        i = InceptionV3(dtype=self.dtype, name="inception")(rs(x, 299), train)
         return jnp.concatenate([r, i], axis=-1)
 
 
@@ -150,7 +170,13 @@ class VisualFrontend:
             # axon tunnel serializes transfers at ~40 MB/s with ~29 ms
             # latency EACH; packing 3 plane arrays into one buffer saves
             # two latency hits per batch and one RPC round per plane.
-            b = self.batch_size
+            # The batch is derived from the (static) buffer length, so the
+            # same program body serves the full batch AND the power-of-two
+            # tail buckets (tail_bucket) — a partial last block pads to
+            # its bucket, not to batch_size, keeping shipped bytes tight
+            # on the link-bound path.
+            per = h * w + 2 * (h // 2) * (w // 2)
+            b = buf.shape[0] // per
             ny = b * h * w
             nc = b * (h // 2) * (w // 2)
             y = buf[:ny].reshape(b, h, w)
@@ -160,19 +186,36 @@ class VisualFrontend:
 
         self._embed_packed = jax.jit(embed_packed, static_argnums=(2, 3))
 
+    MIN_BUCKET = 32
+
+    def tail_bucket(self, n: int) -> int:
+        """Batch bucket for a block of ``n`` frames: ``batch_size`` for
+        full blocks, else the smallest power-of-two fraction of it (>=
+        MIN_BUCKET) that fits ``n``. Full blocks keep the big-batch MXU
+        occupancy (scripts/sweep_embed_mfu.py); the tail block stops
+        shipping up to batch_size-1 frames of zero padding over a ~40 MB/s
+        link (~0.14 MB/frame at ship 304). At most log2(batch/32)+1
+        programs per plane shape ever compile."""
+        b = self.batch_size
+        while b // 2 >= max(n, self.MIN_BUCKET):
+            b //= 2
+        return b
+
     def frame_features(self, frames: np.ndarray) -> np.ndarray:
         """[F, H, W, 3] RGB frames -> [F, 4096], in fixed-size jit batches
-        (tail padded so only one shape ever compiles). Dispatches stay
-        async on device; a single host readback at the end (the per-batch
-        sync would pay the host<->device latency ~30x per video)."""
+        (tail padded to its power-of-two bucket so only O(log batch)
+        shapes ever compile). Dispatches stay async on device; a single
+        host readback at the end (the per-batch sync would pay the
+        host<->device latency ~30x per video)."""
         f = frames.shape[0]
         pending = []
         for i in range(0, f, self.batch_size):
             chunk = frames[i : i + self.batch_size]
             n = chunk.shape[0]
-            if n < self.batch_size:
+            bucket = self.tail_bucket(n)
+            if n < bucket:
                 chunk = np.concatenate(
-                    [chunk, np.zeros((self.batch_size - n, *chunk.shape[1:]),
+                    [chunk, np.zeros((bucket - n, *chunk.shape[1:]),
                                      chunk.dtype)]
                 )
             pending.append(self._embed(self.variables, jnp.asarray(chunk)))
@@ -194,13 +237,15 @@ class VisualFrontend:
             sl = slice(i, i + b)
             yc, uc, vc = y[sl], u[sl], v[sl]
             n = yc.shape[0]
-            # pack the three planes (zero-padded tail batch) into ONE flat
-            # uint8 buffer: a single transfer instead of three (see
-            # _embed_packed for why that matters on a serialized link)
-            buf = np.zeros(b * (ny + 2 * nc), np.uint8)
+            bb = self.tail_bucket(n)
+            # pack the three planes (zero-padded to the block's bucket)
+            # into ONE flat uint8 buffer: a single transfer instead of
+            # three (see _embed_packed for why that matters on a
+            # serialized link)
+            buf = np.zeros(bb * (ny + 2 * nc), np.uint8)
             buf[: n * ny] = yc.reshape(-1)
-            buf[b * ny : b * ny + n * nc] = uc.reshape(-1)
-            buf[b * (ny + nc) : b * (ny + nc) + n * nc] = vc.reshape(-1)
+            buf[bb * ny : bb * ny + n * nc] = uc.reshape(-1)
+            buf[bb * (ny + nc) : bb * (ny + nc) + n * nc] = vc.reshape(-1)
             pending.append(
                 self._embed_packed(self.variables, jnp.asarray(buf), h, w)
             )
@@ -208,12 +253,18 @@ class VisualFrontend:
 
     def dispatch_packed(self, buf: np.ndarray, h: int, w: int):
         """Enqueue ONE pre-packed plane buffer (io.native
-        ``read_yuv420_packed`` layout, length ``batch_size * (h*w +
-        2*(h//2 * w//2))``) — the zero-repack fast path: the C++ reader
-        wrote the planes straight into this single-transfer layout."""
-        expect = self.batch_size * (h * w + 2 * (h // 2) * (w // 2))
-        if buf.shape != (expect,):
-            raise ValueError(f"packed buffer shape {buf.shape} != ({expect},)")
+        ``read_yuv420_packed`` layout, length ``bucket * (h*w +
+        2*(h//2 * w//2))`` for a tail_bucket-valid bucket) — the
+        zero-repack fast path: the C++ reader wrote the planes straight
+        into this single-transfer layout."""
+        per = h * w + 2 * (h // 2) * (w // 2)
+        b, rem = divmod(buf.shape[0], per) if buf.ndim == 1 else (0, 1)
+        if rem or b <= 0 or (b != self.batch_size and b != self.tail_bucket(b)):
+            expect = self.batch_size * per
+            raise ValueError(
+                f"packed buffer shape {buf.shape} is not a bucket multiple "
+                f"of the {h}x{w} plane layout (full batch = ({expect},))"
+            )
         return self._embed_packed(self.variables, jnp.asarray(buf), h, w)
 
     def collect(self, pending, n_frames: int) -> np.ndarray:
@@ -392,6 +443,7 @@ def make_visual_frontend(
         from avsum_tpu.utils.serialization import load_params
 
         kwargs["variables"] = load_params(config.weights)
+    kwargs.setdefault("batch_size", config.batch_size)
     return VisualFrontend(config, model=model, **kwargs)
 
 

@@ -122,7 +122,8 @@ def main():
         overrides=["visual.dtype=bfloat16", "visual.backbone=dual"]
     )
     pipeline = AVPipeline(cfg)
-    pipeline.visual.batch_size = 128
+    # embed batch: visual.batch_size config default (256, the measured
+    # MXU sweet spot — scripts/sweep_embed_mfu.py)
 
     import jax.numpy as jnp
 

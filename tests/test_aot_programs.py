@@ -74,12 +74,19 @@ def test_stablehlo_artifacts_round_trip(cfg, model_params, clip, tmp_path):
         platforms=("cpu",),
         mode="stablehlo",
     )
-    assert len(manifest["programs"]) == 2
+    # one embed program per batch bucket (full batch + power-of-two tail
+    # buckets down to MIN_BUCKET) + one audio program
+    n_buckets = 1
+    b = pipe_a.visual.batch_size
+    while b // 2 >= pipe_a.visual.MIN_BUCKET:
+        b //= 2
+        n_buckets += 1
+    assert len(manifest["programs"]) == n_buckets + 1
     assert all(p["mode"] == "stablehlo" for p in manifest["programs"])
 
     pipe_b = AVPipeline(cfg)
     n = load_pipeline_programs(pipe_b, str(tmp_path / "arts"), strict=True)
-    assert n == 2
+    assert n == n_buckets + 1
     res_b = pipe_b.summarize(clip, model, params)  # strict: artifacts MUST run
     np.testing.assert_array_equal(res_a["segments"], res_b["segments"])
     np.testing.assert_allclose(

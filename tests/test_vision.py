@@ -178,6 +178,28 @@ def test_preprocess_frames_resizes():
     assert preprocess_frames(x, 224).shape == (2, 224, 224, 3)
 
 
+def test_normalize_commutes_with_resize():
+    """preprocess_frames normalizes BEFORE the bilinear resize (so the
+    resize can run in bf16 at half the HBM traffic — see backbone.py
+    normalize_frames). That reordering is exact: a per-channel affine map
+    commutes with bilinear interpolation (whose weights sum to 1). Pin it
+    against the reference order (resize, then /255 + mean/std —
+    extractors.py transforms) in f32."""
+    import jax.numpy as jnp
+
+    from avsum_tpu.vision.backbone import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (2, 37, 53, 3)).astype(np.float32)
+
+    got = np.asarray(preprocess_frames(x, 32))
+
+    r = jax.image.resize(jnp.asarray(x), (2, 32, 32, 3), method="bilinear")
+    expect = np.asarray((r / 255.0 - IMAGENET_MEAN) / IMAGENET_STD)
+
+    np.testing.assert_allclose(got, expect, rtol=2e-5, atol=2e-5)
+
+
 def test_sample_shot_frames_stride_and_cap():
     bounds = np.array([[0, 30], [30, 330], [330, 331]])
     idx, ids = sample_shot_frames(bounds, frame_stride=3, max_frames_per_shot=50)
