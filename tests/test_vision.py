@@ -200,6 +200,57 @@ def test_normalize_commutes_with_resize():
     np.testing.assert_allclose(got, expect, rtol=2e-5, atol=2e-5)
 
 
+def test_tail_bucket_chain():
+    from avsum_tpu.train.config import VisualFeatConfig
+    from avsum_tpu.vision.backbone import TinyBackbone, VisualFrontend
+
+    fe = VisualFrontend(
+        VisualFeatConfig(backbone="tiny", feature_dim=16, dtype="float32"),
+        model=TinyBackbone(16),
+        batch_size=256,
+    )
+    assert fe.tail_bucket(256) == 256  # full block
+    assert fe.tail_bucket(241) == 256  # >half -> full
+    assert fe.tail_bucket(89) == 128
+    assert fe.tail_bucket(64) == 64
+    assert fe.tail_bucket(33) == 64
+    assert fe.tail_bucket(1) == 32  # MIN_BUCKET floor
+    # batches below MIN_BUCKET never bucket (tests use tiny batches)
+    fe_small = VisualFrontend(
+        VisualFeatConfig(backbone="tiny", feature_dim=16, dtype="float32"),
+        model=TinyBackbone(16),
+        batch_size=8,
+    )
+    assert fe_small.tail_bucket(3) == 8
+
+
+def test_frame_features_tail_bucket_invariant():
+    """A partial tail block padded to its power-of-two bucket must produce
+    the same features as any other batch size (the bucket only changes
+    how much zero padding ships, never the per-frame math)."""
+    from avsum_tpu.train.config import VisualFeatConfig
+    from avsum_tpu.vision.backbone import TinyBackbone, VisualFrontend, fast_init
+
+    cfg = VisualFeatConfig(backbone="tiny", feature_dim=16, dtype="float32")
+    model = TinyBackbone(16)
+    variables = fast_init(model, np.zeros((1, 32, 32, 3), np.float32))
+    frames = (
+        np.random.default_rng(3)
+        .integers(0, 256, (70, 32, 32, 3))
+        .astype(np.float32)
+    )
+    # batch 64: one full block + a 6-frame tail in a 32-bucket
+    fe_a = VisualFrontend(cfg, variables=variables, model=model, batch_size=64)
+    # batch 128: everything in one 128 block
+    fe_b = VisualFrontend(cfg, variables=variables, model=model, batch_size=128)
+    np.testing.assert_allclose(
+        fe_a.frame_features(frames),
+        fe_b.frame_features(frames),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
 def test_sample_shot_frames_stride_and_cap():
     bounds = np.array([[0, 30], [30, 330], [330, 331]])
     idx, ids = sample_shot_frames(bounds, frame_stride=3, max_frames_per_shot=50)
