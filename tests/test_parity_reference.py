@@ -130,3 +130,63 @@ def test_parity_run_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "PARITY_F1.md")
     loaded = json.load(open(tmp_path / "PARITY_F1.json"))
     assert loaded["models"].keys() == models.keys()
+
+
+def test_seed_level_paired_ci_math():
+    """Pin the seed-level paired t CI (the round-4 acceptance statistic)
+    against a hand-computed value, and the verdict rule on both sides of
+    the 2-pt half-width threshold."""
+    from scipy import stats as sps
+
+    from scripts.parity_reference import _model_verdict, _summarize
+
+    st = ParitySettings(n_videos=4, n_seeds=3, n_folds=2, epochs=1)
+    vids = [f"v{i}" for i in range(4)]
+    rng = np.random.default_rng(7)
+
+    def per_seed_videos(offsets):
+        """video_f1[model][seed] dicts with controlled per-seed mean delta."""
+        base = {s: {v: float(rng.uniform(0.4, 0.6)) for v in vids}
+                for s in range(3)}
+        ref = {s: dict(base[s]) for s in range(3)}
+        avs = {s: {v: base[s][v] + offsets[s] for v in vids} for s in range(3)}
+        return ref, avs
+
+    # tight: per-seed deltas exactly [0.01, 0.02, 0.015] -> CI from those 3
+    ref, avs = per_seed_videos([0.01, 0.02, 0.015])
+    video_f1 = {
+        "reference_torch_bilstm": ref,
+        "avsum_bilstm": avs,
+        "avsum_attention": {s: dict(ref[s]) for s in range(3)},
+    }
+    fold_means = {
+        k: [[{"canonical_f1": float(np.mean(list(video_f1[k][s].values())))}]
+            for s in range(3)]
+        for k in video_f1
+    }
+    result = _summarize(st, 3, fold_means, video_f1, vids, 0.0)
+    r = result["models"]["avsum_bilstm"]
+    d = np.array([1.0, 2.0, 1.5])  # pts
+    se = d.std(ddof=1) / np.sqrt(3)
+    tcrit = sps.t.ppf(0.975, 2)
+    np.testing.assert_allclose(
+        r["seed_paired_ci95_pts"],
+        [round(d.mean() - tcrit * se, 2), round(d.mean() + tcrit * se, 2)],
+        atol=0.015,
+    )
+    assert _model_verdict(r) == "PASS"  # half-width ~1.25 pts
+
+    # wide: per-seed deltas [-0.03, 0.05, 0.01] -> sigma 4 pts -> FAIL-POWER
+    ref2, avs2 = per_seed_videos([-0.03, 0.05, 0.01])
+    video_f1["avsum_attention"] = avs2
+    video_f1["reference_torch_bilstm"] = ref2
+    fold_means = {
+        k: [[{"canonical_f1": float(np.mean(list(video_f1[k][s].values())))}]
+            for s in range(3)]
+        for k in video_f1
+    }
+    result = _summarize(st, 3, fold_means, video_f1, vids, 0.0)
+    r2 = result["models"]["avsum_attention"]
+    assert _model_verdict(r2) == "FAIL-POWER"
+    # the point estimate is noninferior, so never FAIL-INFERIOR
+    assert r2["paired_delta_pts"] >= -0.5
