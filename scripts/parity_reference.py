@@ -482,6 +482,43 @@ def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
     fold_means = {k: [[] for _ in range(st.n_seeds)] for k in keys}
     video_f1 = {k: [{} for _ in range(st.n_seeds)] for k in keys}
     vids = sorted(examples)
+    # RESUME: the world build is fully seeded and run_seed depends only
+    # on (st.seed, s, f_idx), so a cell computed by a prior process is
+    # identical to what this process would compute. If a progress.json
+    # from the same settings exists in the work dir, restore its raw
+    # per-cell data and skip the completed cells — a host restart (the
+    # API weather kills hosts regularly) costs at most one cell, not
+    # the 6+ hours of a full run.
+    progress_path = os.path.join(root, "progress.json")
+    done_cells = set()
+    if os.path.exists(progress_path):
+        with open(progress_path) as fh:
+            prev = json.load(fh)
+        if (
+            prev.get("settings") == dataclasses.asdict(st)
+            and "fold_means" in prev
+        ):
+            pf, ps = prev["done_through"]
+            done_cells = {
+                (ss, ff)
+                for ss in range(ps + 1)
+                for ff in range(len(folds))
+                if ss < ps or ff <= pf
+            }
+            for k in keys:
+                for ss in range(st.n_seeds):
+                    fold_means[k][ss] = list(prev["fold_means"][k][ss])
+                    video_f1[k][ss] = dict(prev["video_f1"][k][ss])
+            print(
+                f"resuming: {len(done_cells)}/{st.n_seeds * len(folds)} "
+                "cells restored from progress.json",
+                flush=True,
+            )
+        elif "settings" in prev:
+            print(
+                "progress.json settings mismatch — starting fresh",
+                flush=True,
+            )
     # SEED-OUTER iteration: one complete pass over all folds per seed, so
     # every finished seed is a full 5-fold dataset — the report is
     # recomputed (and re-written via report_cb) after each, and a run
@@ -489,6 +526,8 @@ def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
     # N-seed result instead of an unfinishable fold-major triangle.
     for s in range(st.n_seeds):
         for f_idx, fold in enumerate(folds):
+            if (s, f_idx) in done_cells:
+                continue
             train_ex = [examples[v] for v in fold["train"]]
             test_ex = [examples[v] for v in fold["test"]]
             dv = train_ex[0].visual.shape[-1]
@@ -532,11 +571,18 @@ def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
             )
             # Incremental raw dump so a killed run (the host dies on API
             # weather regularly) still leaves analyzable per-video data.
-            with open(os.path.join(root, "progress.json"), "w") as fh:
+            tmp_path = progress_path + ".tmp"
+            with open(tmp_path, "w") as fh:
                 json.dump(
                     {
                         "done_through": [f_idx, s],
+                        "settings": dataclasses.asdict(st),
                         "video_f1": video_f1,
+                        # full fold-mean dicts (canonical + keyframe
+                        # metrics) so a resumed process — and
+                        # parity_rebuild.py — reconstructs the complete
+                        # report, not just the canonical column
+                        "fold_means": fold_means,
                         "fold_canonical": {
                             k: [[m["canonical_f1"] for m in fold_means[k][ss]]
                                 for ss in range(st.n_seeds)]
@@ -545,6 +591,7 @@ def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
                     },
                     fh,
                 )
+            os.replace(tmp_path, progress_path)  # crash-atomic
         if report_cb is not None:
             # seed s complete across all folds -> a full, valid
             # (s+1)-seed result; re-write the reports now
