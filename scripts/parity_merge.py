@@ -1,0 +1,235 @@
+"""Merge a seed-subset parity run into a committed PARITY_F1 report.
+
+Why this exists: the round-4 decisive parity run (40 videos x 5 seeds,
+scripts/parity_reference.py) completed 4 of 5 seeds before the host was
+recycled, taking /tmp — and the raw per-video data in progress.json —
+with it. The committed PARITY_F1.json carries every per-SEED statistic
+(per-seed canonical F1, per-seed paired deltas) but not the per-video
+matrices. Re-running all 5 seeds costs ~8 h on this host class; running
+ONLY the missing seed costs ~1.6 h.
+
+That shortcut is exact, not approximate, because every (seed, fold)
+cell is deterministic in (settings.seed, s, f_idx): the synthetic world
+is fully seeded, torch.manual_seed(run_seed) pins the reference init
+and its shuffled training order, and the avsum side threads the same
+run_seed through Trainer. A subset run therefore produces bit-identical
+numbers to the corresponding slice of a full run — and this tool
+*verifies* that claim when the subset includes a seed the committed
+report already has (a reproduction seed): the fresh per-seed canonical
+F1 and paired delta must match the committed values to report rounding,
+or the merge aborts.
+
+What merges exactly from per-seed statistics alone:
+  - per_seed_canonical_f1 / per_seed_paired_delta_pts: concatenation
+  - aggregate metrics (canonical F1, keyframe F1, rho, tau): means over
+    all (seed, fold) cells with equal folds per seed -> weighted mean
+    of the committed aggregate and the fresh seed's fold means
+  - paired_delta_pts: mean over videos of seed-averaged deltas = mean
+    of per-seed deltas (same videos every seed) -> mean of the list
+  - seed_std_pts and the SEED-LEVEL paired t CI (the acceptance
+    statistic, PARITY_PROCEDURE.md §7): recomputed from the full list
+
+What cannot be recomputed without the lost per-video matrices and is
+carried from the committed report, annotated with its seed basis:
+  - the video-level CI and its diagnostics (paired_ci95_pts,
+    paired_se_pts, videos_abs_delta_gt10, videos_needed_for_ci2pts,
+    p_noninferior_bootstrap). These are generalization diagnostics,
+    not the acceptance statistic; their seed basis is recorded in
+    `video_level_basis_seeds`.
+
+Run: python scripts/parity_merge.py --work <dir-with-progress.json> \
+         --prev PARITY_F1.json --out-dir .
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from scripts.parity_reference import write_reports  # noqa: E402
+
+KEYS = ("reference_torch_bilstm", "avsum_bilstm", "avsum_attention")
+
+
+def _complete_seeds(prog: dict, n_folds: int) -> list[int]:
+    """Seed indices whose every fold is present in the progress dump."""
+    cells = {(s, f) for s, f in prog.get("cells", [])}
+    if not cells:  # legacy prefix dump
+        pf, ps = prog["done_through"]
+        cells = {
+            (ss, ff)
+            for ss in range(ps + 1)
+            for ff in range(n_folds)
+            if ss < ps or ff <= pf
+        }
+    n_seeds = prog["settings"]["n_seeds"]
+    return [
+        s for s in range(n_seeds)
+        if all((s, f) in cells for f in range(n_folds))
+    ]
+
+
+def _seed_stats(prog: dict, s: int) -> dict:
+    """Per-seed statistics for seed s from the raw progress data."""
+    out = {}
+    vids = sorted(prog["video_f1"]["reference_torch_bilstm"][s])
+    for key in KEYS:
+        folds = prog["fold_means"][key][s]
+        out[key] = {
+            "fold_mean": {
+                m: float(np.mean([f[m] for f in folds])) for m in folds[0]
+            },
+        }
+        if key != "reference_torch_bilstm":
+            ref = prog["video_f1"]["reference_torch_bilstm"][s]
+            own = prog["video_f1"][key][s]
+            out[key]["paired_delta_pts"] = 100.0 * float(
+                np.mean([own[v] - ref[v] for v in vids])
+            )
+    return out
+
+
+def merge(prev: dict, prog: dict) -> dict:
+    from scipy import stats as sps
+
+    if "datasets" in prev:
+        prev = prev["datasets"][prog["settings"]["dataset"]]
+    if prog["settings"] != prev["settings"]:
+        raise SystemExit(
+            "settings mismatch between progress.json and the committed "
+            f"report:\n  fresh: {prog['settings']}\n  prev:  "
+            f"{prev['settings']}"
+        )
+    st = prev["settings"]
+    n_folds = st["n_folds"]
+    n_prev = prev["seeds_done"]
+    seeds = _complete_seeds(prog, n_folds)
+    repro = [s for s in seeds if s < n_prev]
+    new = [s for s in seeds if s >= n_prev]
+    if not new:
+        raise SystemExit(f"no seed beyond the committed {n_prev} in {seeds}")
+    if sorted(new) != list(range(n_prev, n_prev + len(new))):
+        raise SystemExit(f"new seeds {new} do not extend the prefix {n_prev}")
+
+    # Determinism verification: any reproduced seed must match the
+    # committed per-seed numbers to report rounding, else the "subset
+    # run == slice of a full run" premise is broken and merging would
+    # manufacture a statistic no single run ever produced.
+    for s in repro:
+        fresh = _seed_stats(prog, s)
+        for key in KEYS:
+            got = round(fresh[key]["fold_mean"]["canonical_f1"], 4)
+            want = prev["models"][key]["per_seed_canonical_f1"][s]
+            if abs(got - want) > 5e-5:
+                raise SystemExit(
+                    f"DETERMINISM FAILURE seed {s} {key}: fresh canonical "
+                    f"F1 {got} != committed {want} — refusing to merge"
+                )
+            if key != "reference_torch_bilstm":
+                gotd = round(fresh[key]["paired_delta_pts"], 2)
+                wantd = prev["models"][key]["per_seed_paired_delta_pts"][s]
+                if abs(gotd - wantd) > 5e-3:
+                    raise SystemExit(
+                        f"DETERMINISM FAILURE seed {s} {key}: fresh paired "
+                        f"delta {gotd} != committed {wantd}"
+                    )
+        print(f"seed {s}: reproduction matches committed report exactly")
+
+    n_total = n_prev + len(new)
+    result = {
+        "settings": st,
+        "dataset": prev["dataset"],
+        "seeds_done": n_total,
+        "protocol": prev["protocol"].replace(
+            f"x {n_prev} seeds", f"x {n_total} seeds"
+        ),
+        "wall_s": prev.get("wall_s"),
+        "merge_note": (
+            f"seeds 0-{n_prev - 1} from the committed run; seeds "
+            f"{new} run fresh under identical deterministic settings"
+            + (
+                f"; seeds {repro} re-run as determinism proof (matched "
+                "exactly)" if repro else ""
+            )
+            + "; video-level CI and its diagnostics carried from the "
+            f"committed {n_prev}-seed run (raw per-video data for those "
+            "seeds lost with the host)"
+        ),
+        "models": {},
+    }
+    fresh_stats = {s: _seed_stats(prog, s) for s in new}
+    for key in KEYS:
+        r = dict(prev["models"][key])  # carry diagnostics fields
+        # aggregate metrics: equal fold counts per seed -> weighted mean
+        for m in fresh_stats[new[0]][key]["fold_mean"]:
+            if m not in r:
+                continue
+            fresh_sum = sum(
+                fresh_stats[s][key]["fold_mean"][m] for s in new
+            )
+            r[m] = (prev["models"][key][m] * n_prev + fresh_sum) / n_total
+        per_seed = list(r["per_seed_canonical_f1"]) + [
+            round(fresh_stats[s][key]["fold_mean"]["canonical_f1"], 4)
+            for s in new
+        ]
+        r["per_seed_canonical_f1"] = per_seed
+        r["seed_std_pts"] = round(100.0 * float(np.std(per_seed)), 2)
+        r["video_level_basis_seeds"] = n_prev
+        result["models"][key] = r
+
+    ref_f1 = result["models"]["reference_torch_bilstm"]["canonical_f1"]
+    for key in ("avsum_bilstm", "avsum_attention"):
+        r = result["models"][key]
+        dseed = np.asarray(
+            list(r["per_seed_paired_delta_pts"])
+            + [round(fresh_stats[s][key]["paired_delta_pts"], 2)
+               for s in new],
+            np.float64,
+        )
+        r["per_seed_paired_delta_pts"] = [round(d, 2) for d in dseed]
+        r["delta_canonical_f1_pts"] = round(
+            100.0 * (r["canonical_f1"] - ref_f1), 2
+        )
+        # mean over videos of seed-averaged deltas == mean of per-seed
+        # deltas (same videos every seed) — exact under concatenation
+        r["paired_delta_pts"] = round(float(dseed.mean()), 2)
+        se = float(dseed.std(ddof=1) / np.sqrt(len(dseed)))
+        tcrit = float(sps.t.ppf(0.975, len(dseed) - 1))
+        r["seed_paired_se_pts"] = round(se, 2)
+        r["seed_paired_ci95_pts"] = [
+            round(float(dseed.mean()) - tcrit * se, 2),
+            round(float(dseed.mean()) + tcrit * se, 2),
+        ]
+    return result
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--work", required=True,
+                    help="dataset work dir containing progress.json")
+    ap.add_argument("--prev", default=os.path.join(REPO, "PARITY_F1.json"))
+    ap.add_argument("--out-dir", default=REPO)
+    args = ap.parse_args(argv)
+    with open(os.path.join(args.work, "progress.json")) as fh:
+        prog = json.load(fh)
+    with open(args.prev) as fh:
+        prev = json.load(fh)
+    result = merge(prev, prog)
+    write_reports([result], args.out_dir)
+    for key in ("avsum_bilstm", "avsum_attention"):
+        r = result["models"][key]
+        print(key, "delta", r["paired_delta_pts"],
+              "seed CI", r["seed_paired_ci95_pts"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

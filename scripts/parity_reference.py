@@ -424,7 +424,12 @@ def train_avsum(
     return trainer
 
 
-def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
+def run_parity(
+    root: str,
+    st: ParitySettings,
+    report_cb=None,
+    seed_indices=None,
+) -> dict:
     from avsum_tpu.data.datasets import (
         load_summe_examples,
         load_tvsum_examples,
@@ -491,6 +496,7 @@ def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
     # the 6+ hours of a full run.
     progress_path = os.path.join(root, "progress.json")
     done_cells = set()
+    n_prefix = 0
     if os.path.exists(progress_path):
         with open(progress_path) as fh:
             prev = json.load(fh)
@@ -498,13 +504,18 @@ def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
             prev.get("settings") == dataclasses.asdict(st)
             and "fold_means" in prev
         ):
-            pf, ps = prev["done_through"]
-            done_cells = {
-                (ss, ff)
-                for ss in range(ps + 1)
-                for ff in range(len(folds))
-                if ss < ps or ff <= pf
-            }
+            if "cells" in prev:
+                # explicit cell list (written by seed-subset runs, where
+                # completed cells need not be a seed-major prefix)
+                done_cells = {(ss, ff) for ss, ff in prev["cells"]}
+            else:
+                pf, ps = prev["done_through"]
+                done_cells = {
+                    (ss, ff)
+                    for ss in range(ps + 1)
+                    for ff in range(len(folds))
+                    if ss < ps or ff <= pf
+                }
             for k in keys:
                 for ss in range(st.n_seeds):
                     fold_means[k][ss] = list(prev["fold_means"][k][ss])
@@ -524,7 +535,7 @@ def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
     # recomputed (and re-written via report_cb) after each, and a run
     # killed at hour N still leaves a complete, statistically valid
     # N-seed result instead of an unfinishable fold-major triangle.
-    for s in range(st.n_seeds):
+    for s in (range(st.n_seeds) if seed_indices is None else seed_indices):
         for f_idx, fold in enumerate(folds):
             if (s, f_idx) in done_cells:
                 continue
@@ -571,11 +582,13 @@ def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
             )
             # Incremental raw dump so a killed run (the host dies on API
             # weather regularly) still leaves analyzable per-video data.
+            done_cells.add((s, f_idx))
             tmp_path = progress_path + ".tmp"
             with open(tmp_path, "w") as fh:
                 json.dump(
                     {
                         "done_through": [f_idx, s],
+                        "cells": sorted(done_cells),
                         "settings": dataclasses.asdict(st),
                         "video_f1": video_f1,
                         # full fold-mean dicts (canonical + keyframe
@@ -592,12 +605,21 @@ def run_parity(root: str, st: ParitySettings, report_cb=None) -> dict:
                     fh,
                 )
             os.replace(tmp_path, progress_path)  # crash-atomic
-        if report_cb is not None:
-            # seed s complete across all folds -> a full, valid
-            # (s+1)-seed result; re-write the reports now
-            report_cb(_summarize(st, s + 1, fold_means, video_f1, vids, t0))
+        # seeds completed as a PREFIX of 0..n_seeds-1 form a full, valid
+        # n-seed result; re-write the reports now. Seed-subset runs (a
+        # non-prefix set, e.g. only seed 4 to extend a committed run)
+        # leave reporting to scripts/parity_merge.py over progress.json.
+        n_prefix = 0
+        while n_prefix < st.n_seeds and all(
+            (n_prefix, ff) in done_cells for ff in range(len(folds))
+        ):
+            n_prefix += 1
+        if report_cb is not None and n_prefix > 0:
+            report_cb(_summarize(st, n_prefix, fold_means, video_f1, vids, t0))
 
-    return _summarize(st, st.n_seeds, fold_means, video_f1, vids, t0)
+    if n_prefix == 0:
+        return None
+    return _summarize(st, n_prefix, fold_means, video_f1, vids, t0)
 
 
 def _summarize(st, n_done, fold_means, video_f1, vids, t0) -> dict:
@@ -875,6 +897,14 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--n-seeds", type=int, default=None)
     ap.add_argument(
+        "--seed-indices", default=None,
+        help="comma-separated seed indices to run (e.g. '4' or '4,0') — "
+        "extends/reproduces specific cells of a committed run; reports "
+        "are then assembled by scripts/parity_merge.py from progress.json "
+        "(cells are deterministic in (seed, fold), so a subset run is "
+        "bit-identical to the corresponding slice of a full run)",
+    )
+    ap.add_argument(
         "--dataset", choices=("tvsum", "summe", "both"), default="tvsum",
         help="protocol(s) to run; 'both' writes one combined report",
     )
@@ -893,6 +923,9 @@ def main(argv=None) -> int:
     names = (
         ("tvsum", "summe") if args.dataset == "both" else (args.dataset,)
     )
+    seed_indices = None
+    if args.seed_indices is not None:
+        seed_indices = [int(x) for x in args.seed_indices.split(",") if x]
     results = []
     for name in names:
         ds_st = dataclasses.replace(st, dataset=name)
@@ -900,9 +933,18 @@ def main(argv=None) -> int:
             os.path.join(work, name), ds_st,
             # re-write reports after EVERY completed seed so a killed
             # multi-hour run still leaves a complete n-seed report
-            report_cb=lambda r: write_reports(results + [r], args.out_dir),
+            report_cb=(
+                None if seed_indices is not None
+                else lambda r: write_reports(results + [r], args.out_dir)
+            ),
+            seed_indices=seed_indices,
         ))
-        write_reports(results, args.out_dir)  # checkpoint after each
+        if results[-1] is not None and seed_indices is None:
+            write_reports(results, args.out_dir)  # checkpoint after each
+    if seed_indices is not None:
+        print(f"seed-subset run complete; raw data in {work}/*/progress.json"
+              " — assemble reports with scripts/parity_merge.py")
+        return 0
     print(
         json.dumps(
             {r["dataset"]: r["models"] for r in results}, indent=1
