@@ -217,13 +217,32 @@ def main(argv=None) -> int:
                     help="dataset work dir containing progress.json")
     ap.add_argument("--prev", default=os.path.join(REPO, "PARITY_F1.json"))
     ap.add_argument("--out-dir", default=REPO)
+    ap.add_argument(
+        "--also", action="append", default=[],
+        help="extra result-payload JSONs (single-result or "
+        "{'datasets': ...} PARITY_F1.json layouts) whose dataset "
+        "sections are appended to the written report — e.g. a SumMe "
+        "run produced with --out-dir elsewhere",
+    )
     args = ap.parse_args(argv)
     with open(os.path.join(args.work, "progress.json")) as fh:
         prog = json.load(fh)
     with open(args.prev) as fh:
         prev = json.load(fh)
     result = merge(prev, prog)
-    write_reports([result], args.out_dir)
+    results = [result]
+    for path in args.also:
+        with open(path) as fh:
+            extra = json.load(fh)
+        extras = (
+            list(extra["datasets"].values())
+            if "datasets" in extra else [extra]
+        )
+        results += [
+            e for e in extras if e["settings"]["dataset"]
+            != result["settings"]["dataset"]
+        ]
+    write_reports(results, args.out_dir)
     for key in ("avsum_bilstm", "avsum_attention"):
         r = result["models"][key]
         print(key, "delta", r["paired_delta_pts"],

@@ -147,3 +147,41 @@ def test_merge_rejects_settings_mismatch_and_gaps():
         )
     with pytest.raises(SystemExit, match="do not extend"):
         merge(prev2, prog)
+
+
+def test_main_also_appends_extra_dataset_sections(tmp_path):
+    """--also joins a second dataset's result into one report, keeping the
+    merged dataset first and dropping a duplicate of the same dataset."""
+    import json
+
+    from scripts.parity_merge import main
+
+    prev, prog = _world()
+    work = tmp_path / "work"
+    work.mkdir()
+    (work / "progress.json").write_text(json.dumps(prog))
+    prev_path = tmp_path / "PARITY_F1.json"
+    prev_path.write_text(json.dumps(prev))
+
+    summe = json.loads(json.dumps(prev))  # deep copy
+    summe["dataset"] = "summe"
+    summe["settings"] = dict(prev["settings"], dataset="summe")
+    also = tmp_path / "summe.json"
+    # both payload layouts must work; exercise the {'datasets': ...} one
+    # with a stale tvsum entry that must be dropped in favor of the merge
+    also.write_text(json.dumps({"datasets": {"summe": summe,
+                                             "tvsum": prev}}))
+
+    out = tmp_path / "out"
+    assert main([
+        "--work", str(work), "--prev", str(prev_path),
+        "--out-dir", str(out), "--also", str(also),
+    ]) == 0
+
+    md = (out / "PARITY_F1.md").read_text()
+    assert "## tvsum" in md and "## summe" in md
+    payload = json.loads((out / "PARITY_F1.json").read_text())
+    assert set(payload["datasets"]) == {"tvsum", "summe"}
+    # the tvsum section is the MERGED result (3 seeds), not the stale prev
+    assert payload["datasets"]["tvsum"]["seeds_done"] == 3
+    assert payload["datasets"]["summe"]["seeds_done"] == 2
