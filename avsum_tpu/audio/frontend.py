@@ -83,12 +83,17 @@ class AudioFrontend:
                 )
             self.use_pallas = False
         self.config = config
+        from avsum_tpu.vision.backbone import _DTYPES
+
+        dtype = _DTYPES[config.dtype]
         if config.encoder == "large":
             from avsum_tpu.audio.vggish import LargeAudioEncoder
 
-            self.vggish = LargeAudioEncoder(embed_dim=config.vggish_dim)
+            self.vggish = LargeAudioEncoder(
+                embed_dim=config.vggish_dim, dtype=dtype
+            )
         else:
-            self.vggish = VGGish()
+            self.vggish = VGGish(dtype=dtype)
         if vggish_params is None and config.vggish_weights:
             from avsum_tpu.utils.serialization import load_params
 
@@ -102,8 +107,14 @@ class AudioFrontend:
                 seed=seed,
             )["params"]
         # pin on device once (re-shipping fc1's 50M params per call would
-        # dominate the whole pipeline on a slow host link)
-        self.vggish_params = jax.device_put(vggish_params)
+        # dominate the whole pipeline on a slow host link); bf16 compute
+        # ships bf16 weights — same declared precision, half the bytes
+        # (vision/backbone.py::ship_dtype_cast)
+        from avsum_tpu.vision.backbone import ship_dtype_cast
+
+        self.vggish_params = jax.device_put(
+            ship_dtype_cast(vggish_params, dtype)
+        )
         self._full = jax.jit(self._full_features_impl)
         self._pool = jax.jit(self._pool_impl)
 

@@ -46,6 +46,11 @@ class AudioFeatConfig:
     eps: float = 1e-6
     vggish_dim: int = 128
     encoder: str = "vggish"  # vggish | large (upgraded encoder, config 4)
+    # compute/ship dtype for the audio encoder (the spectral front-end
+    # stays f32 — its golden contract is torchaudio-pinned). bfloat16
+    # halves the ~290 MB VGGish weight transfer a fresh process pays on
+    # a slow host link and runs the convs on the MXU's native dtype.
+    dtype: str = "float32"  # float32 | bfloat16
     # path to ported VGGish params (audio/port_vggish.py::vggish_from_torch
     # saved via utils/serialization.py). "" = random init — stand-in for the
     # reference's torch.hub download (extractors.py:188)

@@ -125,6 +125,33 @@ def fast_init(model, sample_input, seed: int = 0):
     return jax.tree_util.tree_map_with_path(fill, shapes)
 
 
+def ship_dtype_cast(variables, dtype):
+    """Cast float32 leaves to ``dtype`` host-side before shipping.
+
+    With bf16 compute, flax's ``promote_dtype`` casts every f32 param to
+    bf16 at use anyway; numpy rounds to nearest even exactly like XLA's
+    ConvertElementType, so the shipped values are the same bf16 values
+    the compute path declares. (Under jit, XLA's excess-precision folding
+    may keep the f32 originals through a cast-at-use conv, so outputs can
+    differ from the f32-shipped program within bf16 rounding — inside the
+    declared precision of a bf16 path, tests/test_ship_dtype.py.) The
+    payoff: half the host->device bytes. On the slow tunnel link the f32
+    weight transfer (~210 MB dual backbone, ~290 MB VGGish) dominates
+    fresh-process warmup; this cast is where those seconds go. No-op for
+    f32 compute or non-f32 leaves.
+    """
+    if dtype == jnp.float32:
+        return variables
+
+    def cast(leaf):
+        arr = np.asarray(leaf)
+        if arr.dtype == np.float32:
+            return arr.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(cast, variables)
+
+
 class VisualFrontend:
     """Whole-video frame embedding + per-shot mean pooling."""
 
@@ -149,8 +176,10 @@ class VisualFrontend:
             )
         # Pin variables on device ONCE. Passing a host pytree into every
         # jit call re-ships ~hundreds of MB of weights per call — through a
-        # slow host link that dominates everything else.
-        self.variables = jax.device_put(variables)
+        # slow host link that dominates everything else. For bf16 compute,
+        # cast to bf16 BEFORE shipping (same declared precision, half the
+        # bytes — see ship_dtype_cast).
+        self.variables = jax.device_put(ship_dtype_cast(variables, dtype))
         self._embed = jax.jit(
             lambda v, f: self.model.apply(v, f, train=False)
         )

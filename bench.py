@@ -195,6 +195,9 @@ def build_pipeline():
         overrides=[
             "visual.dtype=bfloat16",
             "visual.backbone=dual",
+            # bf16 VGGish: MXU-native convs + half the weight bytes a
+            # fresh process ships over the link (warm-start seconds)
+            "audio.dtype=bfloat16",
         ]
     )
     pipeline = AVPipeline(cfg)
