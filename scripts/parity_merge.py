@@ -97,7 +97,7 @@ def _seed_stats(prog: dict, s: int) -> dict:
     return out
 
 
-def merge(prev: dict, prog: dict) -> dict:
+def merge(prev: dict, prog: dict, cross_host: str | None = None) -> dict:
     from scipy import stats as sps
 
     if "datasets" in prev:
@@ -123,25 +123,53 @@ def merge(prev: dict, prog: dict) -> dict:
     # committed per-seed numbers to report rounding, else the "subset
     # run == slice of a full run" premise is broken and merging would
     # manufacture a statistic no single run ever produced.
+    #
+    # Exception (--cross-host): when the committed seeds and the fresh
+    # ones ran on DIFFERENT hosts, bit-exact reproduction of the torch
+    # reference is not achievable — torch CPU matmul reduction order
+    # depends on the host's ISA/thread layout — so instead of aborting,
+    # record the measured reproduction discrepancy per (seed, model) in
+    # the report. The per-seed PAIRED delta remains a valid replication
+    # either way: both contenders in a cell train and are scored inside
+    # ONE process on ONE host, so host effects cancel within a seed the
+    # same way video difficulty does; across seeds the host becomes part
+    # of the (already random) seed environment.
+    repro_drift = {}
     for s in repro:
         fresh = _seed_stats(prog, s)
+        mism = {}
         for key in KEYS:
             got = round(fresh[key]["fold_mean"]["canonical_f1"], 4)
             want = prev["models"][key]["per_seed_canonical_f1"][s]
             if abs(got - want) > 5e-5:
-                raise SystemExit(
-                    f"DETERMINISM FAILURE seed {s} {key}: fresh canonical "
-                    f"F1 {got} != committed {want} — refusing to merge"
-                )
+                if cross_host is None:
+                    raise SystemExit(
+                        f"DETERMINISM FAILURE seed {s} {key}: fresh "
+                        f"canonical F1 {got} != committed {want} — "
+                        "refusing to merge (pass --cross-host REASON if "
+                        "the committed seeds ran on a different host)"
+                    )
+                mism[key] = {"fresh": got, "committed": want,
+                             "abs_diff_pts": round(100 * abs(got - want), 2)}
             if key != "reference_torch_bilstm":
                 gotd = round(fresh[key]["paired_delta_pts"], 2)
                 wantd = prev["models"][key]["per_seed_paired_delta_pts"][s]
                 if abs(gotd - wantd) > 5e-3:
-                    raise SystemExit(
-                        f"DETERMINISM FAILURE seed {s} {key}: fresh paired "
-                        f"delta {gotd} != committed {wantd}"
-                    )
-        print(f"seed {s}: reproduction matches committed report exactly")
+                    if cross_host is None:
+                        raise SystemExit(
+                            f"DETERMINISM FAILURE seed {s} {key}: fresh "
+                            f"paired delta {gotd} != committed {wantd}"
+                        )
+                    mism.setdefault(key, {})["paired_delta"] = {
+                        "fresh": gotd, "committed": wantd,
+                        "abs_diff_pts": round(abs(gotd - wantd), 2),
+                    }
+        if mism:
+            repro_drift[s] = mism
+            print(f"seed {s}: cross-host drift recorded for "
+                  f"{sorted(mism)} (exact match for the rest)")
+        else:
+            print(f"seed {s}: reproduction matches committed report exactly")
 
     n_total = n_prev + len(new)
     result = {
@@ -156,8 +184,12 @@ def merge(prev: dict, prog: dict) -> dict:
             f"seeds 0-{n_prev - 1} from the committed run; seeds "
             f"{new} run fresh under identical deterministic settings"
             + (
-                f"; seeds {repro} re-run as determinism proof (matched "
-                "exactly)" if repro else ""
+                (f"; seeds {repro} re-run on the new host as a "
+                 "reproduction probe — see cross_host_reproduction "
+                 f"({cross_host})")
+                if repro and cross_host and repro_drift else
+                (f"; seeds {repro} re-run as determinism proof (matched "
+                 "exactly)" if repro else "")
             )
             + "; video-level CI and its diagnostics carried from the "
             f"committed {n_prev}-seed run (raw per-video data for those "
@@ -165,6 +197,11 @@ def merge(prev: dict, prog: dict) -> dict:
         ),
         "models": {},
     }
+    if repro_drift:
+        result["cross_host_reproduction"] = {
+            "reason": cross_host,
+            "drift_by_seed": {str(s): m for s, m in repro_drift.items()},
+        }
     fresh_stats = {s: _seed_stats(prog, s) for s in new}
     for key in KEYS:
         r = dict(prev["models"][key])  # carry diagnostics fields
@@ -194,7 +231,7 @@ def merge(prev: dict, prog: dict) -> dict:
                for s in new],
             np.float64,
         )
-        r["per_seed_paired_delta_pts"] = [round(d, 2) for d in dseed]
+        r["per_seed_paired_delta_pts"] = [round(float(d), 2) for d in dseed]
         r["delta_canonical_f1_pts"] = round(
             100.0 * (r["canonical_f1"] - ref_f1), 2
         )
@@ -224,12 +261,19 @@ def main(argv=None) -> int:
         "sections are appended to the written report — e.g. a SumMe "
         "run produced with --out-dir elsewhere",
     )
+    ap.add_argument(
+        "--cross-host", default=None, metavar="REASON",
+        help="permit reproduction-seed drift (recorded, not fatal) when "
+        "the committed seeds ran on a different host; REASON is stored "
+        "in the report, e.g. 'host recycled; torch CPU reduction order "
+        "is host-dependent'",
+    )
     args = ap.parse_args(argv)
     with open(os.path.join(args.work, "progress.json")) as fh:
         prog = json.load(fh)
     with open(args.prev) as fh:
         prev = json.load(fh)
-    result = merge(prev, prog)
+    result = merge(prev, prog, cross_host=args.cross_host)
     results = [result]
     for path in args.also:
         with open(path) as fh:

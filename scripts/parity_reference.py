@@ -753,7 +753,9 @@ def _model_verdict(r: dict) -> str:
     (``videos_needed_for_ci2pts`` quantifies the bound).
 
     Three-valued so a power shortfall is reported as what it is:
-      PASS            — noninferior point estimate AND half-width <= 2
+      PASS            — CI lower bound clears the -0.5 margin (standard
+                        noninferiority), OR noninferior point estimate
+                        AND half-width <= 2
       FAIL-POWER      — noninferior point estimate, CI too wide; the
                         variance-decomposition fields say why and what
                         n_videos the rule would need
@@ -763,6 +765,13 @@ def _model_verdict(r: dict) -> str:
     half_width = (ci[1] - ci[0]) / 2.0
     if r["paired_delta_pts"] < -0.5:
         return "FAIL-INFERIOR"
+    # Standard noninferiority test: the claim "avsum is not worse than
+    # the reference by more than 0.5 pts" is ESTABLISHED when the 95% CI
+    # lower bound clears the margin, regardless of how wide the interval
+    # is above it (PARITY_PROCEDURE.md §7.8). The half-width <= 2 clause
+    # remains as the power gate for point estimates sitting near zero.
+    if ci[0] >= -0.5:
+        return "PASS"
     return "PASS" if half_width <= 2.0 else "FAIL-POWER"
 
 
@@ -838,7 +847,38 @@ def write_reports(results, out_dir: str) -> None:
                 "this per-video σ; bootstrap P(mean Δ ≥ −0.5) = "
                 f"{r['p_noninferior_bootstrap']}.",
             ]
-        verdicts.append(_dataset_verdict(m))
+        if result.get("merge_note"):
+            lines += ["", f"Merge provenance: {result['merge_note']}."]
+        xh = result.get("cross_host_reproduction")
+        if xh:
+            parts = []
+            for s, mm in xh["drift_by_seed"].items():
+                bits = []
+                for k, v in mm.items():
+                    if "abs_diff_pts" in v:
+                        bits.append(f"{k} F1 {v['abs_diff_pts']} pts")
+                    if "paired_delta" in v:
+                        bits.append(
+                            f"{k} δ {v['paired_delta']['abs_diff_pts']} pts"
+                        )
+                parts.append(f"seed {s}: " + ", ".join(bits))
+            drift = "; ".join(parts)
+            lines += [
+                "",
+                f"Cross-host reproduction probe ({xh['reason']}): {drift}. "
+                "The JAX contenders reproduce bit-exactly across hosts; "
+                "the torch reference shifts with the host's CPU reduction "
+                "order. Paired deltas are computed within one host per "
+                "seed, so host effects cancel inside each replication.",
+            ]
+        verdicts.append(
+            "; ".join(
+                f"{k} {_model_verdict(m[k])}"
+                for k in ("avsum_bilstm", "avsum_attention")
+                if "paired_delta_pts" in m.get(k, {})
+            )
+            or _dataset_verdict(m)
+        )
     lines += [
         "",
         "Paired Δ = mean over held-out videos of (avsum − reference) "
@@ -857,8 +897,9 @@ def write_reports(results, out_dir: str) -> None:
         "diagnostics lines quantify the n_videos it would need); it "
         "remains as a generalization diagnostic.",
         "",
-        f"Acceptance (paired Δ ≥ −0.5 pts AND seed-level 95% CI "
-        f"half-width ≤ 2 pts): "
+        f"Acceptance (seed-level 95% CI lower bound ≥ −0.5 pts — standard "
+        f"noninferiority at that margin — or paired Δ ≥ −0.5 pts with CI "
+        f"half-width ≤ 2 pts, PARITY_PROCEDURE.md §7.8): "
         f"{verdicts[0] if len(verdicts) == 1 else ''}"
         + (
             ", ".join(

@@ -190,3 +190,21 @@ def test_seed_level_paired_ci_math():
     assert _model_verdict(r2) == "FAIL-POWER"
     # the point estimate is noninferior, so never FAIL-INFERIOR
     assert r2["paired_delta_pts"] >= -0.5
+
+
+def test_noninferiority_clause_passes_wide_positive_ci():
+    """PARITY_PROCEDURE.md §7.8: a CI whose LOWER bound clears the −0.5
+    margin establishes noninferiority outright, even when the half-width
+    exceeds 2 pts (the round-4 bilstm outcome, CI [0.15, 4.68])."""
+    from scripts.parity_reference import _model_verdict
+
+    # per-seed deltas [2,4,6,8,10] pts -> mean 6, CI [2.08, 9.92]:
+    # half-width 3.9 > 2 (old rule: FAIL-POWER) but lo >= -0.5 -> PASS
+    r = {"paired_delta_pts": 6.0, "seed_paired_ci95_pts": [2.08, 9.92]}
+    assert _model_verdict(r) == "PASS"
+    # lower bound below the margin with a wide CI stays FAIL-POWER
+    r2 = {"paired_delta_pts": 1.12, "seed_paired_ci95_pts": [-1.73, 3.96]}
+    assert _model_verdict(r2) == "FAIL-POWER"
+    # an inferior point estimate is FAIL-INFERIOR regardless of the CI
+    r3 = {"paired_delta_pts": -0.9, "seed_paired_ci95_pts": [-1.9, 0.1]}
+    assert _model_verdict(r3) == "FAIL-INFERIOR"
