@@ -144,6 +144,18 @@ def main():
     ap.add_argument("--n-videos", type=int, default=20)
     ap.add_argument("--out", default=os.path.join(REPO, "PPEP_BENCH.json"))
     ap.add_argument("--work-dir", default=None)
+    ap.add_argument(
+        "--configs", default=None,
+        help="comma list of contender names to run, in the given order "
+        "(default: all). Lets a budget-bound session run the missing "
+        "configs and combine with --append-rows.",
+    )
+    ap.add_argument(
+        "--append-rows", default=None,
+        help="JSONL of already-measured rows (one per line, the same "
+        "schema this script prints) to include in the summary and the "
+        "output file — e.g. rows salvaged from an interrupted run's log",
+    )
     args = ap.parse_args()
 
     from scripts.parity_reference import ParitySettings, build_world
@@ -174,7 +186,16 @@ def main():
         max_shots *= 2
 
     rows = []
-    for name, model_ov, mesh_ov in contenders():
+    if args.append_rows:
+        with open(args.append_rows) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+
+    by_name = {name: (name, m, mo) for name, m, mo in contenders()}
+    wanted = (
+        [by_name[n] for n in args.configs.split(",")]
+        if args.configs else contenders()
+    )
+    for name, model_ov, mesh_ov in wanted:
         for seed in range(args.n_seeds):
             row = train_and_eval(
                 cfg, name, model_ov, mesh_ov, train_ex, test_ex, canon_fn,
@@ -186,6 +207,8 @@ def main():
     summary = {}
     for name, _, _ in contenders():
         rs = [r for r in rows if r["config"] == name]
+        if not rs:
+            continue
         summary[name] = {
             "canonical_f1_mean": round(
                 float(np.mean([r["canonical_f1"] for r in rs])), 4),
