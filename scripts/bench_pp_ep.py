@@ -151,6 +151,12 @@ def main():
         "configs and combine with --append-rows.",
     )
     ap.add_argument(
+        "--seed-offset", type=int, default=0,
+        help="first seed to run (seeds seed-offset .. seed-offset+n_seeds-1); "
+        "lets a follow-up run add seeds to rows salvaged via --append-rows "
+        "without re-training the ones already measured",
+    )
+    ap.add_argument(
         "--append-rows", default=None,
         help="JSONL of already-measured rows (one per line, the same "
         "schema this script prints) to include in the summary and the "
@@ -196,7 +202,7 @@ def main():
         if args.configs else contenders()
     )
     for name, model_ov, mesh_ov in wanted:
-        for seed in range(args.n_seeds):
+        for seed in range(args.seed_offset, args.seed_offset + args.n_seeds):
             row = train_and_eval(
                 cfg, name, model_ov, mesh_ov, train_ex, test_ex, canon_fn,
                 max_shots, args.epochs, seed, work,
@@ -221,7 +227,8 @@ def main():
         "protocol": (
             f"parity world (alpha={st.signal_alpha}, noise={st.scene_noise}"
             f", {args.n_videos} videos), fold 0 of 5, {args.epochs} epochs, "
-            f"{args.n_seeds} seeds, canonical per-annotator knapsack F1; "
+            f"seeds {sorted({r['seed'] for r in rows})} (per-config rows may "
+            "differ), canonical per-annotator knapsack F1; "
             "step times on an 8-virtual-device CPU mesh (1 physical core: "
             "relative, not absolute)"
         ),
