@@ -139,6 +139,12 @@ def ship_dtype_cast(variables, dtype):
     weight transfer (~210 MB dual backbone, ~290 MB VGGish) dominates
     fresh-process warmup; this cast is where those seconds go. No-op for
     f32 compute or non-f32 leaves.
+
+    ONLY valid for uniform-dtype models (DualBackbone, VGGish) whose
+    every layer declares ``dtype``: a mixed-precision module (e.g.
+    TinyBackbone's deliberately-f32 Dense head) would have its f32-by-
+    design weights silently rounded beyond their declared precision —
+    VisualFrontend gates the cast on the model class for that reason.
     """
     if dtype == jnp.float32:
         return variables
@@ -163,6 +169,7 @@ class VisualFrontend:
         batch_size: int = 32,
         input_size: int = 224,
         model=None,
+        ship_cast: Optional[bool] = None,
     ):
         self.config = config
         self.batch_size = batch_size
@@ -178,8 +185,16 @@ class VisualFrontend:
         # jit call re-ships ~hundreds of MB of weights per call — through a
         # slow host link that dominates everything else. For bf16 compute,
         # cast to bf16 BEFORE shipping (same declared precision, half the
-        # bytes — see ship_dtype_cast).
-        self.variables = jax.device_put(ship_dtype_cast(variables, dtype))
+        # bytes — see ship_dtype_cast). Gated to uniform-dtype models:
+        # mixed-precision ones (TinyBackbone's and ViTBackbone's f32
+        # Dense heads, any custom module) keep their f32-by-design
+        # leaves intact. make_visual_frontend sets ship_cast per
+        # backbone; the default covers direct construction.
+        if ship_cast is None:
+            ship_cast = isinstance(self.model, DualBackbone)
+        if ship_cast:
+            variables = ship_dtype_cast(variables, dtype)
+        self.variables = jax.device_put(variables)
         self._embed = jax.jit(
             lambda v, f: self.model.apply(v, f, train=False)
         )
@@ -473,6 +488,9 @@ def make_visual_frontend(
 
         kwargs["variables"] = load_params(config.weights)
     kwargs.setdefault("batch_size", config.batch_size)
+    # bf16 weight shipping is exact only for uniform-dtype models;
+    # tiny/vit carry deliberately-f32 heads (see ship_dtype_cast)
+    kwargs.setdefault("ship_cast", config.backbone in ("dual", "resnet50"))
     return VisualFrontend(config, model=model, **kwargs)
 
 

@@ -74,7 +74,7 @@ def contenders():
 
 
 def train_and_eval(cfg, name, model_ov, mesh_ov, train_ex, test_ex,
-                   canon_fn, max_shots, epochs, seed, work):
+                   canon_fn, max_shots, epochs, seed, work, fold_idx=0):
     from avsum_tpu.data.batching import batch_iterator
     from avsum_tpu.models import make_model
     from avsum_tpu.train.config import load_config
@@ -91,7 +91,7 @@ def train_and_eval(cfg, name, model_ov, mesh_ov, train_ex, test_ex,
             f"data.max_shots={max_shots}",
             "data.batch_videos=8",
             f"train.epochs={epochs}",
-            f"train.checkpoint_dir={work}/ckpt_{name}_s{seed}",
+            f"train.checkpoint_dir={work}/ckpt_{name}_f{fold_idx}_s{seed}",
             f"train.seed={seed}",
             "train.ema_decay=0.98",
             "train.save_every_epochs=1000000",
@@ -116,7 +116,7 @@ def train_and_eval(cfg, name, model_ov, mesh_ov, train_ex, test_ex,
     steady = time.perf_counter() - t0
     step_ms = 1e3 * steady / ((epochs - 1) * steps_per_epoch)
 
-    mean, _ = evaluate_model(
+    mean, per_vid = evaluate_model(
         lambda ex: trainer.score_video(ex, max_shots), test_ex, canon_fn
     )
     n_params = sum(
@@ -126,9 +126,16 @@ def train_and_eval(cfg, name, model_ov, mesh_ov, train_ex, test_ex,
     return {
         "config": name,
         "seed": seed,
+        "fold": fold_idx,
+        "epochs": epochs,
         "canonical_f1": round(mean["canonical_f1"], 4),
         "keyframe_f1": round(mean["f1"], 4),
         "spearman": round(mean["spearman"], 4),
+        # per-video canonical F1 so rows across folds give PAIRED deltas
+        # vs flagship (same fold+seed => same held-out videos): the
+        # fold-0 means alone tie at identical knapsack packings
+        # (VERDICT r4 item 4 — the metric saturates without pairing)
+        "video_canonical_f1": {v: round(f, 4) for v, f in per_vid.items()},
         "step_ms_virtual_cpu": round(step_ms, 1),
         "warmup_s": round(warm_s, 1),
         "n_params": n_params,
@@ -149,6 +156,12 @@ def main():
         help="comma list of contender names to run, in the given order "
         "(default: all). Lets a budget-bound session run the missing "
         "configs and combine with --append-rows.",
+    )
+    ap.add_argument(
+        "--folds", default="0",
+        help="comma list of fold indices (of the canonical 5) to run; "
+        "per-(fold,seed) cells give the paired-vs-flagship statistic "
+        "discriminative power a single fold's tied means lack",
     )
     ap.add_argument(
         "--seed-offset", type=int, default=0,
@@ -184,31 +197,71 @@ def main():
             anno[ex.video_id].user_scores, 0.15,
         )
 
-    fold = create_kfold_splits(sorted(examples), 5, seed=0)[0]
-    train_ex = [examples[v] for v in fold["train"]]
-    test_ex = [examples[v] for v in fold["test"]]
+    folds = create_kfold_splits(sorted(examples), 5, seed=0)
+    fold_idxs = [int(x) for x in args.folds.split(",") if x != ""]
     max_shots = 1
     while max_shots < max(ex.n_shots for ex in examples.values()):
         max_shots *= 2
 
     rows = []
     if args.append_rows:
+        # Salvaged rows merge only if they are well-formed and ran the
+        # same protocol (advisor r4: silent mismatches bias the means);
+        # rows predating the fold/epochs fields are stamped with the
+        # values those runs used (fold 0 was the only fold then).
         with open(args.append_rows) as fh:
-            rows += [json.loads(line) for line in fh if line.strip()]
+            appended = [json.loads(line) for line in fh if line.strip()]
+        for i, r in enumerate(appended):
+            missing = {"config", "seed", "canonical_f1"} - set(r)
+            if missing:
+                raise SystemExit(
+                    f"--append-rows line {i + 1}: malformed row, missing "
+                    f"{sorted(missing)}: {r}"
+                )
+            r.setdefault("fold", 0)
+            r.setdefault("epochs", 100)
+            if r["epochs"] != args.epochs:
+                raise SystemExit(
+                    f"--append-rows line {i + 1}: row trained "
+                    f"{r['epochs']} epochs but this run uses "
+                    f"{args.epochs} — protocols must match to merge"
+                )
+        rows += appended
 
     by_name = {name: (name, m, mo) for name, m, mo in contenders()}
     wanted = (
         [by_name[n] for n in args.configs.split(",")]
         if args.configs else contenders()
     )
-    for name, model_ov, mesh_ov in wanted:
-        for seed in range(args.seed_offset, args.seed_offset + args.n_seeds):
-            row = train_and_eval(
-                cfg, name, model_ov, mesh_ov, train_ex, test_ex, canon_fn,
-                max_shots, args.epochs, seed, work,
-            )
-            rows.append(row)
-            print(json.dumps(row), flush=True)
+    for f_idx in fold_idxs:
+        fold = folds[f_idx]
+        train_ex = [examples[v] for v in fold["train"]]
+        test_ex = [examples[v] for v in fold["test"]]
+        for name, model_ov, mesh_ov in wanted:
+            for seed in range(
+                args.seed_offset, args.seed_offset + args.n_seeds
+            ):
+                if any(
+                    r["config"] == name and r["seed"] == seed
+                    and r.get("fold", 0) == f_idx for r in rows
+                ):
+                    print(f"skip {name} fold {f_idx} seed {seed}: already "
+                          "present in appended rows", flush=True)
+                    continue
+                row = train_and_eval(
+                    cfg, name, model_ov, mesh_ov, train_ex, test_ex,
+                    canon_fn, max_shots, args.epochs, seed, work,
+                    fold_idx=f_idx,
+                )
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+
+    dup = {}
+    for r in rows:
+        k = (r["config"], r.get("fold", 0), r["seed"])
+        if k in dup:
+            raise SystemExit(f"duplicate (config, fold, seed) row: {k}")
+        dup[k] = r
 
     summary = {}
     for name, _, _ in contenders():
@@ -220,15 +273,55 @@ def main():
                 float(np.mean([r["canonical_f1"] for r in rs])), 4),
             "step_ms_virtual_cpu_median": round(
                 float(np.median([r["step_ms_virtual_cpu"] for r in rs])), 1),
+            "n_rows": len(rs),
+            "folds": sorted({r.get("fold", 0) for r in rs}),
             "n_params": rs[0]["n_params"],
             "mesh": rs[0]["mesh"],
         }
+        # PAIRED vs flagship: for each (fold, seed) where both configs
+        # have per-video data, delta per held-out video, then a t CI
+        # over the per-(fold,seed) mean deltas — the statistic that can
+        # distinguish configs whose single-fold means tie exactly.
+        if name != "flagship_attention":
+            cell_deltas = []
+            for r in rs:
+                flag = dup.get(
+                    ("flagship_attention", r.get("fold", 0), r["seed"])
+                )
+                if not (flag and "video_canonical_f1" in r
+                        and "video_canonical_f1" in flag):
+                    continue
+                own, fv = r["video_canonical_f1"], flag["video_canonical_f1"]
+                common = sorted(set(own) & set(fv))
+                if common:
+                    cell_deltas.append(100.0 * float(
+                        np.mean([own[v] - fv[v] for v in common])
+                    ))
+            if cell_deltas:
+                from scipy import stats as sps
+
+                d = np.asarray(cell_deltas, np.float64)
+                se = (float(d.std(ddof=1) / np.sqrt(len(d)))
+                      if len(d) > 1 else float("nan"))
+                tcrit = (float(sps.t.ppf(0.975, len(d) - 1))
+                         if len(d) > 1 else float("inf"))
+                summary[name]["paired_vs_flagship"] = {
+                    "per_cell_delta_pts": [round(x, 2) for x in d],
+                    "mean_delta_pts": round(float(d.mean()), 2),
+                    "ci95_pts": [
+                        round(float(d.mean()) - tcrit * se, 2),
+                        round(float(d.mean()) + tcrit * se, 2),
+                    ],
+                    "n_cells": len(d),
+                }
     out = {
         "protocol": (
             f"parity world (alpha={st.signal_alpha}, noise={st.scene_noise}"
-            f", {args.n_videos} videos), fold 0 of 5, {args.epochs} epochs, "
+            f", {args.n_videos} videos), folds {fold_idxs} of 5, "
+            f"{args.epochs} epochs, "
             f"seeds {sorted({r['seed'] for r in rows})} (per-config rows may "
-            "differ), canonical per-annotator knapsack F1; "
+            "differ), canonical per-annotator knapsack F1; paired deltas "
+            "vs flagship over per-(fold,seed)-cell held-out videos; "
             "step times on an 8-virtual-device CPU mesh (1 physical core: "
             "relative, not absolute)"
         ),

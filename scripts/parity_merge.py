@@ -77,12 +77,25 @@ def _complete_seeds(prog: dict, n_folds: int) -> list[int]:
     ]
 
 
+def _complete_seeds_key(prog: dict, key: str, n_folds: int) -> list[int]:
+    """Seeds for which THIS model has all folds (variants-limited
+    extension runs train only a subset of contenders per cell)."""
+    fm = prog["fold_means"][key]
+    return [s for s in range(len(fm)) if len(fm[s]) == n_folds]
+
+
 def _seed_stats(prog: dict, s: int) -> dict:
-    """Per-seed statistics for seed s from the raw progress data."""
+    """Per-seed statistics for seed s from the raw progress data.
+
+    Values are UNROUNDED (the committed per-seed lists are rounded for
+    display; decision statistics over fresh seeds must use the exact
+    values and round only at output — advisor r4)."""
     out = {}
     vids = sorted(prog["video_f1"]["reference_torch_bilstm"][s])
     for key in KEYS:
         folds = prog["fold_means"][key][s]
+        if not folds:
+            continue  # contender not trained at this seed (variants run)
         out[key] = {
             "fold_mean": {
                 m: float(np.mean([f[m] for f in folds])) for m in folds[0]
@@ -102,7 +115,11 @@ def merge(prev: dict, prog: dict, cross_host: str | None = None) -> dict:
 
     if "datasets" in prev:
         prev = prev["datasets"][prog["settings"]["dataset"]]
-    if prog["settings"] != prev["settings"]:
+    # n_seeds is NOT part of the world or of any cell's computation
+    # (run_seed = settings.seed + 1000*s + f_idx) — an extension run
+    # necessarily declares a larger n_seeds, so compare everything else
+    _minus = lambda s: {k: v for k, v in s.items() if k != "n_seeds"}
+    if _minus(prog["settings"]) != _minus(prev["settings"]):
         raise SystemExit(
             "settings mismatch between progress.json and the committed "
             f"report:\n  fresh: {prog['settings']}\n  prev:  "
@@ -111,13 +128,38 @@ def merge(prev: dict, prog: dict, cross_host: str | None = None) -> dict:
     st = prev["settings"]
     n_folds = st["n_folds"]
     n_prev = prev["seeds_done"]
-    seeds = _complete_seeds(prog, n_folds)
-    repro = [s for s in seeds if s < n_prev]
-    new = [s for s in seeds if s >= n_prev]
-    if not new:
-        raise SystemExit(f"no seed beyond the committed {n_prev} in {seeds}")
-    if sorted(new) != list(range(n_prev, n_prev + len(new))):
-        raise SystemExit(f"new seeds {new} do not extend the prefix {n_prev}")
+    # Per-model seed sets: a variants-limited extension run trains only
+    # a subset of contenders per cell, so each model extends (or keeps)
+    # its own seed prefix. The torch reference trains in every cell.
+    seeds_by_key = {
+        k: _complete_seeds_key(prog, k, n_folds) for k in KEYS
+    }
+    repro_by_key = {
+        k: [s for s in ss if s < n_prev] for k, ss in seeds_by_key.items()
+    }
+    new_by_key = {
+        k: [s for s in ss if s >= n_prev] for k, ss in seeds_by_key.items()
+    }
+    if not any(new_by_key.values()):
+        raise SystemExit(
+            f"no seed beyond the committed {n_prev} in {seeds_by_key}"
+        )
+    for k, new_k in new_by_key.items():
+        if sorted(new_k) != list(range(n_prev, n_prev + len(new_k))):
+            raise SystemExit(
+                f"{k}: new seeds {new_k} do not extend the prefix {n_prev}"
+            )
+    # the reference must cover every seed any contender extends to
+    # (paired deltas need the same-seed reference arm)
+    for k in KEYS[1:]:
+        missing = set(new_by_key[k]) - set(new_by_key[KEYS[0]])
+        if missing:
+            raise SystemExit(
+                f"{k} has seeds {sorted(missing)} without a matching "
+                "reference arm in the progress data"
+            )
+    repro = sorted(set().union(*repro_by_key.values()))
+    new = new_by_key  # per-key from here on
 
     # Determinism verification: any reproduced seed must match the
     # committed per-seed numbers to report rounding, else the "subset
@@ -139,6 +181,8 @@ def merge(prev: dict, prog: dict, cross_host: str | None = None) -> dict:
         fresh = _seed_stats(prog, s)
         mism = {}
         for key in KEYS:
+            if key not in fresh or s not in repro_by_key[key]:
+                continue
             got = round(fresh[key]["fold_mean"]["canonical_f1"], 4)
             want = prev["models"][key]["per_seed_canonical_f1"][s]
             if abs(got - want) > 5e-5:
@@ -171,18 +215,34 @@ def merge(prev: dict, prog: dict, cross_host: str | None = None) -> dict:
         else:
             print(f"seed {s}: reproduction matches committed report exactly")
 
-    n_total = n_prev + len(new)
+    n_total_by_key = {k: n_prev + len(new[k]) for k in KEYS}
+    n_total = max(n_total_by_key.values())
+    protocol = prev["protocol"].replace(
+        f"x {n_prev} seeds", f"x {n_total} seeds"
+    )
+    if n_total != n_prev and protocol == prev["protocol"]:
+        raise SystemExit(
+            "protocol string substitution failed — the committed "
+            f"protocol lacks 'x {n_prev} seeds': {prev['protocol']!r}"
+        )
+    per_key_note = ", ".join(
+        f"{k}: {n_total_by_key[k]}" for k in KEYS
+        if n_total_by_key[k] != n_total
+    )
     result = {
-        "settings": st,
+        "settings": dict(st, n_seeds=max(st["n_seeds"], n_total)),
         "dataset": prev["dataset"],
         "seeds_done": n_total,
-        "protocol": prev["protocol"].replace(
-            f"x {n_prev} seeds", f"x {n_total} seeds"
-        ),
+        "protocol": protocol
+        + (f" (per-model seed counts differ: {per_key_note})"
+           if per_key_note else ""),
         "wall_s": prev.get("wall_s"),
         "merge_note": (
-            f"seeds 0-{n_prev - 1} from the committed run; seeds "
-            f"{new} run fresh under identical deterministic settings"
+            f"seeds 0-{n_prev - 1} from the committed run; fresh seeds "
+            + "; ".join(
+                f"{k}: {new[k] or 'none'}" for k in KEYS
+            )
+            + " run under identical deterministic settings"
             + (
                 (f"; seeds {repro} re-run on the new host as a "
                  "reproduction probe — see cross_host_reproduction "
@@ -202,20 +262,27 @@ def merge(prev: dict, prog: dict, cross_host: str | None = None) -> dict:
             "reason": cross_host,
             "drift_by_seed": {str(s): m for s, m in repro_drift.items()},
         }
-    fresh_stats = {s: _seed_stats(prog, s) for s in new}
+    all_new = sorted(set().union(*new.values()))
+    fresh_stats = {s: _seed_stats(prog, s) for s in all_new}
     for key in KEYS:
         r = dict(prev["models"][key])  # carry diagnostics fields
+        new_k, n_tot_k = new[key], n_total_by_key[key]
+        r["n_seeds_model"] = n_tot_k
+        if not new_k:  # no fresh seeds for this model: committed row as-is
+            r["video_level_basis_seeds"] = n_prev
+            result["models"][key] = r
+            continue
         # aggregate metrics: equal fold counts per seed -> weighted mean
-        for m in fresh_stats[new[0]][key]["fold_mean"]:
+        for m in fresh_stats[new_k[0]][key]["fold_mean"]:
             if m not in r:
                 continue
             fresh_sum = sum(
-                fresh_stats[s][key]["fold_mean"][m] for s in new
+                fresh_stats[s][key]["fold_mean"][m] for s in new_k
             )
-            r[m] = (prev["models"][key][m] * n_prev + fresh_sum) / n_total
+            r[m] = (prev["models"][key][m] * n_prev + fresh_sum) / n_tot_k
         per_seed = list(r["per_seed_canonical_f1"]) + [
             round(fresh_stats[s][key]["fold_mean"]["canonical_f1"], 4)
-            for s in new
+            for s in new_k
         ]
         r["per_seed_canonical_f1"] = per_seed
         r["seed_std_pts"] = round(100.0 * float(np.std(per_seed)), 2)
@@ -225,10 +292,14 @@ def merge(prev: dict, prog: dict, cross_host: str | None = None) -> dict:
     ref_f1 = result["models"]["reference_torch_bilstm"]["canonical_f1"]
     for key in ("avsum_bilstm", "avsum_attention"):
         r = result["models"][key]
+        if not new[key]:
+            continue  # committed decision statistics stand unchanged
+        # committed seeds contribute their (display-rounded) recorded
+        # deltas — the raw per-video data is gone — while fresh seeds
+        # contribute UNROUNDED values; rounding happens only at output
         dseed = np.asarray(
             list(r["per_seed_paired_delta_pts"])
-            + [round(fresh_stats[s][key]["paired_delta_pts"], 2)
-               for s in new],
+            + [fresh_stats[s][key]["paired_delta_pts"] for s in new[key]],
             np.float64,
         )
         r["per_seed_paired_delta_pts"] = [round(float(d), 2) for d in dseed]

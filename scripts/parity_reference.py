@@ -429,7 +429,13 @@ def run_parity(
     st: ParitySettings,
     report_cb=None,
     seed_indices=None,
+    variants=("bilstm", "attention"),
 ) -> dict:
+    """``variants`` selects which avsum contenders TRAIN (the torch
+    reference always trains — it is the pairing arm). Limiting variants
+    cuts per-cell cost by ~1/3 per skipped contender; the progress.json
+    data structures keep all keys so a variants-limited extension run
+    appends to (never drops) raw data restored from a full run."""
     from avsum_tpu.data.datasets import (
         load_summe_examples,
         load_tvsum_examples,
@@ -555,10 +561,14 @@ def run_parity(
             fold_means["reference_torch_bilstm"][s].append(mean)
             video_f1["reference_torch_bilstm"][s].update(per_vid)
 
+            trained_keys = ["reference_torch_bilstm"]
             for encoder, key in (
                 ("bilstm", "avsum_bilstm"),
                 ("attention", "avsum_attention"),
             ):
+                if encoder not in variants:
+                    continue
+                trained_keys.append(key)
                 trainer = train_avsum(
                     cfg, train_ex, encoder, max_shots,
                     os.path.join(root, f"ckpt_{encoder}_f{f_idx}_s{s}"),
@@ -576,7 +586,7 @@ def run_parity(
                 f"fold {f_idx} seed {s}: "
                 + " ".join(
                     f"{k}={fold_means[k][s][-1]['canonical_f1']:.4f}"
-                    for k in keys
+                    for k in trained_keys
                 ),
                 flush=True,
             )
@@ -624,7 +634,12 @@ def run_parity(
 
 def _summarize(st, n_done, fold_means, video_f1, vids, t0) -> dict:
     """Stats over the first ``n_done`` COMPLETE seeds (all folds run)."""
-    keys = tuple(fold_means)
+    # a variants-limited run (run_parity(variants=...)) leaves untrained
+    # contenders with empty fold lists — summarize only the trained keys
+    keys = tuple(
+        k for k in fold_means
+        if all(len(fold_means[k][s]) > 0 for s in range(n_done))
+    )
     result = {
         "settings": dataclasses.asdict(st),
         "dataset": st.dataset,
@@ -673,6 +688,8 @@ def _summarize(st, n_done, fold_means, video_f1, vids, t0) -> dict:
     ref_vec = seed_avg["reference_torch_bilstm"]
     ref_f1 = result["models"]["reference_torch_bilstm"]["canonical_f1"]
     for key in ("avsum_bilstm", "avsum_attention"):
+        if key not in keys:
+            continue
         # paired analysis: both contenders scored the SAME held-out videos
         # with the SAME seeds, so per-video deltas cancel video difficulty
         diffs = seed_avg[key] - ref_vec
@@ -779,6 +796,7 @@ def _dataset_verdict(models: dict) -> str:
     vs = [
         _model_verdict(models[k])
         for k in ("avsum_bilstm", "avsum_attention")
+        if k in models
     ]
     if any(v == "FAIL-INFERIOR" for v in vs):
         return "FAIL-INFERIOR"
@@ -833,6 +851,8 @@ def write_reports(results, out_dir: str) -> None:
                 f"{r['f1']:.4f} | {r['spearman']:.4f} | {r['kendall']:.4f} |"
             )
         for key in ("avsum_bilstm", "avsum_attention"):
+            if key not in m:
+                continue
             r = m[key]
             if "per_seed_paired_delta_pts" not in r:
                 continue
@@ -863,12 +883,25 @@ def write_reports(results, out_dir: str) -> None:
                         )
                 parts.append(f"seed {s}: " + ", ".join(bits))
             drift = "; ".join(parts)
+            # Name exactly which models drifted (the sentence must be
+            # derived from the recorded drift, not asserted): the torch
+            # reference shifts with the host's CPU reduction order, and
+            # any contender listed here drifted too.
+            drifted = sorted(
+                {k for mm in xh["drift_by_seed"].values() for k in mm}
+            )
+            exact = sorted(set(m) - set(drifted))
             lines += [
                 "",
                 f"Cross-host reproduction probe ({xh['reason']}): {drift}. "
-                "The JAX contenders reproduce bit-exactly across hosts; "
-                "the torch reference shifts with the host's CPU reduction "
-                "order. Paired deltas are computed within one host per "
+                + (
+                    f"Bit-exact cross-host reproduction held for "
+                    f"{', '.join(exact)}; " if exact else ""
+                )
+                + f"{', '.join(drifted)} shifted with the host "
+                "(torch CPU matmul reduction order is host-dependent, and "
+                "the drifted contenders' recorded deltas are above). "
+                "Paired deltas are computed within one host per "
                 "seed, so host effects cancel inside each replication.",
             ]
         verdicts.append(
@@ -949,6 +982,13 @@ def main(argv=None) -> int:
         "--dataset", choices=("tvsum", "summe", "both"), default="tvsum",
         help="protocol(s) to run; 'both' writes one combined report",
     )
+    ap.add_argument(
+        "--variants", default="bilstm,attention",
+        help="comma list of avsum contenders to train (the torch "
+        "reference always trains as the pairing arm) — e.g. "
+        "'attention' extends only the attention rows of a committed "
+        "run at ~2/3 the per-cell cost",
+    )
     args = ap.parse_args(argv)
     st = ParitySettings()
     if args.quick:
@@ -967,11 +1007,14 @@ def main(argv=None) -> int:
     seed_indices = None
     if args.seed_indices is not None:
         seed_indices = [int(x) for x in args.seed_indices.split(",") if x]
+    variants = tuple(v for v in args.variants.split(",") if v)
+    assert all(v in ("bilstm", "attention") for v in variants), variants
     results = []
     for name in names:
         ds_st = dataclasses.replace(st, dataset=name)
         results.append(run_parity(
             os.path.join(work, name), ds_st,
+            variants=variants,
             # re-write reports after EVERY completed seed so a killed
             # multi-hour run still leaves a complete n-seed report
             report_cb=(

@@ -128,6 +128,29 @@ def test_merge_verifies_reproduced_seed():
         merge(prev, prog)
 
 
+def test_merge_variants_limited_extension():
+    """A --variants attention extension run has fresh seeds only for the
+    reference + attention arms; bilstm's committed row must pass through
+    untouched (same decision statistics) while attention extends."""
+    prev, prog = _world()
+    # strip the bilstm arm from the fresh cells, as a
+    # parity_reference --variants attention run writes them
+    prog["fold_means"]["avsum_bilstm"][2] = []
+    prog["video_f1"]["avsum_bilstm"][2] = {}
+    # extension runs declare a larger n_seeds; merge must tolerate it
+    prog["settings"] = dict(prog["settings"], n_seeds=4)
+    out = merge(prev, prog)
+    assert out["seeds_done"] == 3
+    b = out["models"]["avsum_bilstm"]
+    a = out["models"]["avsum_attention"]
+    assert b["n_seeds_model"] == 2 and a["n_seeds_model"] == 3
+    assert b["per_seed_paired_delta_pts"] == [2.0, 3.0]  # untouched
+    assert b["paired_delta_pts"] == 2.5
+    assert a["per_seed_paired_delta_pts"] == [1.0, 2.0, 2.0]
+    assert a["paired_delta_pts"] == round((1.0 + 2.0 + 2.0) / 3, 2)
+    assert "per-model seed counts differ" in out["protocol"]
+
+
 def test_merge_rejects_settings_mismatch_and_gaps():
     prev, prog = _world()
     prog2 = dict(prog, settings=dict(prog["settings"], n_videos=3))

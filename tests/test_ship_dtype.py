@@ -76,12 +76,15 @@ def test_visual_bf16_ship_identity():
     bf16 = embed(ship_dtype_cast(variables, jnp.bfloat16))
     assert np.array_equal(f32, bf16)  # eager: the cast is RNE-exact
 
-    # the frontend ships bf16 when configured so
+    # the frontend ships bf16 when configured so (ship_cast=True: this
+    # custom model is uniform-dtype, so the cast is exact; the auto
+    # default only trusts DualBackbone — see the gate test below)
     fe = VisualFrontend(
         VisualFeatConfig(backbone="tiny", dtype="bfloat16"),
         model=model,
         variables=variables,
         batch_size=8,
+        ship_cast=True,
     )
     leaves = jax.tree_util.tree_leaves(fe.variables)
     assert all(
@@ -93,6 +96,25 @@ def test_visual_bf16_ship_identity():
     got = np.asarray(fe._embed(fe.variables, jnp.asarray(frames)), np.float32)
     scale = np.abs(f32).max()
     assert np.abs(got - f32).max() <= 0.02 * scale
+
+
+def test_ship_cast_gated_off_for_mixed_dtype_backbones():
+    """backbone=tiny + dtype=bfloat16 must NOT bf16-round the f32-by-
+    design Dense head (advisor r4): make_visual_frontend gates the ship
+    cast to uniform-dtype backbones (dual/resnet50)."""
+    from avsum_tpu.vision.backbone import make_visual_frontend
+
+    fe = make_visual_frontend(
+        VisualFeatConfig(
+            backbone="tiny", dtype="bfloat16", feature_dim=64, batch_size=4
+        )
+    )
+    leaves = jax.tree_util.tree_leaves(fe.variables)
+    assert any(
+        l.dtype == jnp.float32
+        for l in leaves
+        if jnp.issubdtype(l.dtype, jnp.floating)
+    ), "tiny backbone's f32 Dense head was rounded to bf16"
 
 
 def test_audio_bf16_ship_identity():
