@@ -31,14 +31,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+if os.environ.get("AVSUM_PLATFORM", "cpu").lower() != "tpu":
+    # The PP/EP throughput rows need the 8-virtual-device CPU mesh.
+    # AVSUM_PLATFORM=tpu lets importers (scripts/exp_deep_pp.py) reuse
+    # contenders()/training on the real chip with a 1x1x1 mesh instead.
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+        os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
+import jax  # noqa: E402  (default platform when AVSUM_PLATFORM=tpu)
 import numpy as np
 
 
@@ -128,6 +134,7 @@ def train_and_eval(cfg, name, model_ov, mesh_ov, train_ex, test_ex,
         "seed": seed,
         "fold": fold_idx,
         "epochs": epochs,
+        "backend": jax.default_backend(),
         "canonical_f1": round(mean["canonical_f1"], 4),
         "keyframe_f1": round(mean["f1"], 4),
         "spearman": round(mean["spearman"], 4),
@@ -168,6 +175,15 @@ def main():
         help="first seed to run (seeds seed-offset .. seed-offset+n_seeds-1); "
         "lets a follow-up run add seeds to rows salvaged via --append-rows "
         "without re-training the ones already measured",
+    )
+    ap.add_argument(
+        "--mesh-one", action="store_true",
+        help="run every contender on a 1x1x1 mesh (stages/experts execute "
+        "sequentially with identical math — pinned in "
+        "tests/test_parallel_pp_ep.py). With AVSUM_PLATFORM=tpu this puts "
+        "the QUALITY cells on the real chip while the CPU core is busy; "
+        "step times are then chip times, excluded from the virtual-CPU "
+        "medians (rows carry a 'backend' stamp)",
     )
     ap.add_argument(
         "--append-rows", default=None,
@@ -238,6 +254,8 @@ def main():
         train_ex = [examples[v] for v in fold["train"]]
         test_ex = [examples[v] for v in fold["test"]]
         for name, model_ov, mesh_ov in wanted:
+            if args.mesh_one:
+                mesh_ov = ["mesh.data=1", "mesh.seq=1", "mesh.model=1"]
             for seed in range(
                 args.seed_offset, args.seed_offset + args.n_seeds
             ):
@@ -268,11 +286,16 @@ def main():
         rs = [r for r in rows if r["config"] == name]
         if not rs:
             continue
+        # step times are only comparable within one backend: rows
+        # predating the stamp ran on the virtual-CPU mesh
+        cpu_steps = [r["step_ms_virtual_cpu"] for r in rs
+                     if r.get("backend", "cpu") == "cpu"]
         summary[name] = {
             "canonical_f1_mean": round(
                 float(np.mean([r["canonical_f1"] for r in rs])), 4),
-            "step_ms_virtual_cpu_median": round(
-                float(np.median([r["step_ms_virtual_cpu"] for r in rs])), 1),
+            "step_ms_virtual_cpu_median": (
+                round(float(np.median(cpu_steps)), 1)
+                if cpu_steps else None),
             "n_rows": len(rs),
             "folds": sorted({r.get("fold", 0) for r in rs}),
             "n_params": rs[0]["n_params"],
@@ -324,6 +347,13 @@ def main():
             "vs flagship over per-(fold,seed)-cell held-out videos; "
             "step times on an 8-virtual-device CPU mesh (1 physical core: "
             "relative, not absolute)"
+            + ("; quality cells from backends "
+               f"{sorted({r.get('backend', 'cpu') for r in rows})} — "
+               "mesh-one cells run stages/experts sequentially with "
+               "identical math (tests/test_parallel_pp_ep.py), only "
+               "virtual-CPU rows enter the step medians"
+               if {r.get("backend", "cpu") for r in rows} != {"cpu"}
+               else "")
         ),
         "rows": rows,
         "summary": summary,
