@@ -490,7 +490,7 @@ def main():
                  *extra],
                 capture_output=True,
                 text=True,
-                timeout=1800,
+                timeout=1200,
             )
             for line in reversed(out.stdout.strip().splitlines()):
                 try:
@@ -512,11 +512,15 @@ def main():
         attempts = []
         for i in range(2):
             d = _fresh_warmup_once(extra, f"{tag}[{i}]")
-            if d is not None:
-                attempts.append(d)
-                log(f"{tag} attempt {i}: {d}")
-                if d["warmup_s"] < 45.0:
-                    break  # clean window; no need to resample
+            if d is None:
+                # total failure/timeout: the window is catastrophic —
+                # a resample would burn another probe-timeout for
+                # another likely timeout; the failure is already logged
+                break
+            attempts.append(d)
+            log(f"{tag} attempt {i}: {d}")
+            if d["warmup_s"] < 45.0:
+                break  # clean window; no need to resample
         if not attempts:
             return None, []
         return min(a["warmup_s"] for a in attempts), attempts
