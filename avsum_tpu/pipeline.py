@@ -616,7 +616,11 @@ class AVPipeline:
         n_shots = len(boundaries)
 
         with annotate("avsum.visual_pool"):
-            pooled_dev, counts = self.visual.pool_on_device(
+            # counts stays a DEVICE array (host copy in flight): the
+            # host thread keeps enqueueing (audio pool, scorer) under
+            # the pool program + counts readback latency instead of
+            # blocking here — counts only gates the rare repair path
+            pooled_dev, counts_dev = self.visual.pool_on_device(
                 st["pending"], len(st["frame_idx"]), c["shot_ids"],
                 c["keep"], n_shots, run_ids=st["run_ids"],
                 return_device=True,
@@ -628,23 +632,6 @@ class AVPipeline:
                 c["audio_full"], self._sample_bounds(boundaries, fps),
                 s_bucket=sb, return_device=True,
             )
-
-        missing = counts <= 0
-        if missing.any():
-            # rare repair path: materialize and rejoin the classic road
-            visual = np.asarray(pooled_dev)[:n_shots]
-            extra_idx = boundaries[missing, 0]
-            extra_yuv = self._read_yuv(reader, extra_idx)
-            visual[missing] = self.visual.frame_features_yuv(*extra_yuv)
-            p = ProcessedVideo(
-                video_id=st["video_id"],
-                visual=visual.astype(np.float32),
-                audio=np.asarray(audio_dev)[:n_shots].astype(np.float32),
-                boundaries=np.asarray(boundaries, np.int64),
-                fps=fps,
-                n_frames=n_frames,
-            )
-            return self._score_summary(p, model, params, budget_fraction)
 
         with annotate("avsum.score_select"):
             params = jax.device_put(params)  # no-op if already resident
@@ -663,9 +650,30 @@ class AVPipeline:
                 self._scorer_fast_model = model
             mask = np.zeros(sb, np.float32)
             mask[:n_shots] = 1.0
-            scores = np.asarray(
-                self._scorer_fast_jit(params, pooled_dev, audio_dev, mask)
-            )[:n_shots]
+            # dispatch the scorer SPECULATIVELY (missing shots are rare),
+            # then materialize counts — the readback rides under the
+            # scorer's device time
+            scores_dev = self._scorer_fast_jit(
+                params, pooled_dev, audio_dev, mask)
+            counts = np.asarray(counts_dev)[:n_shots]
+            missing = counts <= 0
+            if missing.any():
+                # rare repair path: materialize, rejoin the classic road
+                # (the speculative scores are discarded)
+                visual = np.asarray(pooled_dev)[:n_shots]
+                extra_idx = boundaries[missing, 0]
+                extra_yuv = self._read_yuv(reader, extra_idx)
+                visual[missing] = self.visual.frame_features_yuv(*extra_yuv)
+                p = ProcessedVideo(
+                    video_id=st["video_id"],
+                    visual=visual.astype(np.float32),
+                    audio=np.asarray(audio_dev)[:n_shots].astype(np.float32),
+                    boundaries=np.asarray(boundaries, np.int64),
+                    fps=fps,
+                    n_frames=n_frames,
+                )
+                return self._score_summary(p, model, params, budget_fraction)
+            scores = np.asarray(scores_dev)[:n_shots]
             return self._select_from_scores(
                 st["video_id"], scores, boundaries, fps, n_frames,
                 budget_fraction,

@@ -401,9 +401,18 @@ class VisualFrontend:
                 tuple(pending), jnp.asarray(runs), jnp.asarray(ids),
                 jnp.asarray(keep_p), n_bucket + 1,
             )
-        counts = np.asarray(counts)[:n_shots]
         if return_device:
+            # hand back DEVICE counts with the host copy already in
+            # flight: the caller can dispatch more device work (audio
+            # pool, scorer) under the pool program + readback latency
+            # instead of blocking here (counts is the only host-side
+            # dependency, and only for the rare missing-shot repair)
+            try:
+                counts.copy_to_host_async()
+            except AttributeError:  # non-jax array (tests/stubs)
+                pass
             return pooled, counts
+        counts = np.asarray(counts)[:n_shots]
         pooled = np.asarray(pooled)[:n_shots]
         return pooled, counts
 
