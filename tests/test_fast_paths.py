@@ -276,3 +276,39 @@ def test_packed_read_matches_triple(tmp_path):
         assert not buf[cap * (oy + oc) + n * oc :].any()
     finally:
         r.close()
+
+
+def test_refined_scores_small_width_clamps_coarse(tmp_path):
+    """The 9x-coarse prescreen clamps back (9 -> 6 -> 3) on narrow video
+    so the coarse raster stays >= ~24 px wide, and the cut contract holds
+    there too (round 5: coarse_mult default moved 3 -> 9)."""
+    from avsum_tpu.io.native import NativeY4MReader, native_available
+    from avsum_tpu.io.synthetic import make_scene_video
+    from avsum_tpu.io.y4m import write_y4m
+    from avsum_tpu.temporal.shots import cuts_from_scores, refined_content_scores
+
+    if not native_available():
+        pytest.skip("native library not built")
+
+    # width 128 at fine_scale=1: 128//9=14 < 24 -> clamp to mult 3 (42 px)
+    video, _, _ = make_scene_video(
+        n_scenes=4, seed=5, height=72, width=128, scene_len_frames=(20, 40)
+    )
+    path = str(tmp_path / "narrow.y4m")
+    write_y4m(path, video, fps=30.0)
+    r = NativeY4MReader(path)
+    fine = np.asarray(r.content_scores(scale=1))
+    hybrid = refined_content_scores(r, fine_scale=1, threshold=27.0)
+    assert list(cuts_from_scores(hybrid, 27.0, 10)) == list(
+        cuts_from_scores(fine, 27.0, 10)
+    )
+    # sub-threshold frames carry scores from a raster no coarser than
+    # scale 6 (mult clamped below 9): a scale-9 pass would produce
+    # different values there
+    s6 = np.asarray(r.content_scores(scale=6))
+    s3 = np.asarray(r.content_scores(scale=3))
+    low = (hybrid < 27.0 - 8.0) & (np.arange(len(hybrid)) > 0)
+    match3 = np.abs(hybrid[low] - s3[low]).max() < 1e-5
+    match6 = np.abs(hybrid[low] - s6[low]).max() < 1e-5
+    assert match3 or match6
+    r.close()
