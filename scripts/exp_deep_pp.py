@@ -53,6 +53,13 @@ def main():
     ap.add_argument("--eval-every", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fold", type=int, default=0)
+    ap.add_argument(
+        "--use-contender-mesh", action="store_true",
+        help="train on the contender's own mesh (e.g. deep_pp's "
+        "data=2/model=4 GPipe mesh) instead of 1x1x1 — requires the "
+        "8-virtual-device CPU env (run WITHOUT AVSUM_PLATFORM=tpu). "
+        "Bisects mesh-execution effects out of quality differences.",
+    )
     ap.add_argument("--n-videos", type=int, default=20)
     ap.add_argument("--work-dir", default="/tmp/ppep_tpu")
     ap.add_argument("--out", default=None)
@@ -96,12 +103,14 @@ def main():
     while max_shots < max(ex.n_shots for ex in examples.values()):
         max_shots *= 2
 
-    name, model_ov, _ = {
+    name, model_ov, mesh_ov = {
         c[0]: c for c in contenders()
     }[args.config]
+    if not args.use_contender_mesh:
+        mesh_ov = ["mesh.data=1", "mesh.seq=1", "mesh.model=1"]
     overrides = [
         *model_ov,
-        "mesh.data=1", "mesh.seq=1", "mesh.model=1",
+        *mesh_ov,
         f"model.hidden_dim={cfg.model.hidden_dim}",
         "model.num_heads=4",
         f"data.max_shots={max_shots}",
@@ -138,7 +147,10 @@ def main():
     t_start = time.perf_counter()
     while done < args.epochs:
         chunk = min(args.eval_every, args.epochs - done)
-        trainer.fit(batches, epochs=chunk, start_epoch=done)
+        # fit()'s epoch loop is range(start_epoch, epochs): pass the
+        # ABSOLUTE target, not the chunk size (a chunk-sized target with
+        # start_epoch=done trains zero epochs from the second chunk on)
+        trainer.fit(batches, epochs=done + chunk, start_epoch=done)
         done += chunk
         mean, per_vid = evaluate_model(
             lambda ex: trainer.score_video(ex, max_shots), test_ex,
@@ -176,8 +188,7 @@ def main():
         "protocol": (
             f"parity world (alpha={st.signal_alpha}, noise={st.scene_noise},"
             f" {args.n_videos} videos), fold {args.fold} of 5, seed {seed},"
-            f" lr {args.lr}, warmup-cosine; mesh 1x1x1 (stages sequential,"
-            " identical math to the PP mesh)"
+            f" lr {args.lr}, warmup-cosine; mesh overrides {mesh_ov}"
         ),
         "lr": args.lr,
         "warmup_steps": args.warmup_steps,
