@@ -35,7 +35,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np
 
 
-def train(mesh_ov, epochs, label):
+def train(mesh_ov, epochs, label, extra_overrides=()):
     from avsum_tpu.data.batching import batch_iterator
     from avsum_tpu.models import make_model
     from avsum_tpu.train.config import load_config
@@ -58,6 +58,7 @@ def train(mesh_ov, epochs, label):
         "train.seed=0",
         "train.ema_decay=0.98",
         "train.save_every_epochs=1000000",
+        *extra_overrides,
     ])
     vids = make_synthetic_videos(
         n_videos=16, min_shots=8, max_shots=14,
