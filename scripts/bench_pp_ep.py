@@ -193,6 +193,12 @@ def main():
     )
     args = ap.parse_args()
 
+    # persistent executable cache: babysitter restarts after a tunnel
+    # wedge must not re-pay minutes of remote compile per attempt
+    from avsum_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from scripts.parity_reference import ParitySettings, build_world
     from avsum_tpu.data.datasets import load_tvsum_examples
     from avsum_tpu.data.splits import create_kfold_splits

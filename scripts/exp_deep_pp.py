@@ -80,6 +80,10 @@ def main():
 
     import jax
 
+    from avsum_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     os.makedirs(args.work_dir, exist_ok=True)
     st = ParitySettings(n_videos=args.n_videos, n_seeds=1)
     cfg, cache, anno_path = build_world(
