@@ -58,6 +58,7 @@ def train(mesh_ov, epochs, label, extra_overrides=()):
         "train.seed=0",
         "train.ema_decay=0.98",
         "train.save_every_epochs=1000000",
+        f"train.checkpoint_dir=/tmp/pp_eq_ckpt_{label}",
         *extra_overrides,
     ])
     vids = make_synthetic_videos(
